@@ -1,0 +1,2 @@
+from graph_neural_networks_tpu.utils import graph  # noqa: F401
+from graph_neural_networks_tpu.utils import misc  # noqa: F401
