@@ -1,0 +1,143 @@
+"""The Graph Shift Operator container and the shift primitive.
+
+The reference carries the GSO as a dense ``E x N x N`` torch tensor and
+multiplies it into signals with ``torch.matmul`` (graphML.py:159 etc.).
+Here the GSO is a pytree ``Gso`` with two device layouts:
+
+  * ``dense``  -- (E, N, N) array; shifts are batched MXU matmuls. This is
+    the fast path for the reference-scale graphs (N ~ 1e2..1e3), where a
+    dense tile fits comfortably in VMEM and the MXU is the speed of light.
+  * ``bcsr``   -- 128x128 block-sparse layout (only nonzero blocks stored,
+    sorted by block-column) consumed by the Pallas kernel in
+    :mod:`graph_neural_networks_tpu.ops.spmm`. This is the scaling path for
+    large graphs, where most blocks are empty after a locality-preserving
+    node ordering.
+
+The shift convention matches the reference's LSIGF (graphML.py:83-176):
+signals are row vectors per node, so one shift is ``y = x @ S_e``, i.e.
+``y[..., m] = sum_n x[..., n] * S[e, n, m]``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from graph_neural_networks_tpu.ops import spmm
+
+ZERO_TOL = 1e-9
+
+
+@struct.dataclass
+class Gso:
+    """Device-ready graph shift operator (pytree).
+
+    Attributes
+    ----------
+    S : (E, N, N) dense GSO, always present (source of truth for small
+        graphs and for structure queries).
+    blocks, block_row, block_col : optional BCSR layout of each edge
+        feature's GSO, sorted by block column: ``blocks[e]`` is
+        (nnzb, bs, bs); row/col are (nnzb,) int32 block coordinates.
+    n : true number of nodes (static; N may be padded inside bcsr).
+    mode : 'dense' | 'bcsr' (static) — which layout `gshift` uses.
+    """
+
+    S: jnp.ndarray
+    blocks: Optional[jnp.ndarray] = None
+    block_row: Optional[jnp.ndarray] = None
+    block_col: Optional[jnp.ndarray] = None
+    n: int = struct.field(pytree_node=False, default=0)
+    n_edge_features: int = struct.field(pytree_node=False, default=1)
+    block_size: int = struct.field(pytree_node=False, default=128)
+    mode: str = struct.field(pytree_node=False, default="dense")
+
+    @property
+    def N(self) -> int:
+        return self.n
+
+    @property
+    def E(self) -> int:
+        return self.n_edge_features
+
+
+def _normalize_dense(S) -> np.ndarray:
+    S = np.asarray(S)
+    if S.ndim == 2:
+        S = S[None]
+    assert S.ndim == 3 and S.shape[1] == S.shape[2], S.shape
+    return S
+
+
+def as_gso(S, mode: str = "dense", block_size: int = 128,
+           dtype=jnp.float32) -> Gso:
+    """Build a :class:`Gso` from a dense numpy/jax array (N x N or E x N x N)."""
+    if isinstance(S, Gso):
+        return S
+    S = _normalize_dense(np.asarray(S, dtype=np.float64))
+    E, N, _ = S.shape
+    dev = jnp.asarray(S, dtype=dtype)
+    if mode == "dense":
+        return Gso(S=dev, n=N, n_edge_features=E, mode="dense")
+    assert mode == "bcsr"
+    blocks, brow, bcol = [], None, None
+    for e in range(E):
+        b, r, c = spmm.dense_to_bcsr(S[e], block_size)
+        blocks.append(b)
+        if brow is None:
+            brow, bcol = r, c
+        else:
+            # all edge features share a sparsity pattern in the reference's
+            # construction; if not, fall back to the union pattern
+            if not (len(r) == len(brow) and np.array_equal(r, brow)
+                    and np.array_equal(c, bcol)):
+                b2, r2, c2 = spmm.dense_to_bcsr(
+                    np.abs(S).sum(0), block_size)
+                pattern = (r2, c2)
+                blocks = [spmm.dense_to_bcsr_with_pattern(
+                    S[ee], block_size, *pattern) for ee in range(E)]
+                brow, bcol = r2, c2
+                break
+    return Gso(
+        S=dev,
+        blocks=jnp.asarray(np.stack(blocks), dtype=dtype),
+        block_row=jnp.asarray(brow, dtype=np.int32),
+        block_col=jnp.asarray(bcol, dtype=np.int32),
+        n=N, n_edge_features=E, block_size=block_size, mode="bcsr")
+
+
+def dense(gso) -> jnp.ndarray:
+    """The (E, N, N) dense GSO array of `gso` (accepts raw arrays too)."""
+    if isinstance(gso, Gso):
+        return gso.S
+    S = jnp.asarray(gso)
+    return S[None] if S.ndim == 2 else S
+
+
+def gshift(gso, x: jnp.ndarray) -> jnp.ndarray:
+    """One graph shift: ``y[..., e, g, m] = sum_n x[..., e, g, n] S[e,n,m]``.
+
+    x: (..., E, G, N) with E matching the GSO's edge features.
+    This is the hot SpMM the whole framework lowers to
+    (reference hot loop: graphML.py:158-161).
+    """
+    if not isinstance(gso, Gso) or gso.mode == "dense":
+        S = dense(gso)
+        return jnp.einsum("...egn,enm->...egm", x, S)
+    # bcsr path: flatten everything but (E, N) into rows
+    E = gso.n_edge_features
+    shp = x.shape
+    N = shp[-1]
+    xg = jnp.moveaxis(x, -3, 0).reshape(E, -1, N)  # (E, R, N)
+    outs = [
+        spmm.bcsr_matmul(xg[e], gso.blocks[e], gso.block_row, gso.block_col,
+                         n_cols=N, block_size=gso.block_size)
+        for e in range(E)
+    ]
+    y = jnp.stack(outs)  # (E, R, N)
+    y = y.reshape((E,) + shp[:-3] + shp[-2:-1] + (N,))
+    return jnp.moveaxis(y, 0, -3)

@@ -1,0 +1,79 @@
+"""BCSR block-sparse SpMM kernel: numerical parity vs dense matmul.
+
+Runs the Pallas kernel in interpreter mode on CPU; the compiled-TPU path is
+exercised by bench.py on real hardware.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graph_neural_networks_tpu.ops import spmm
+
+RNG = np.random.default_rng(3)
+
+
+def _sparse_matrix(N, density=0.05, block_cluster=True):
+    S = np.zeros((N, N))
+    if block_cluster:
+        # clustered sparsity typical after a locality-preserving ordering
+        n_clusters = max(N // 64, 1)
+        bounds = np.linspace(0, N, n_clusters + 1).astype(int)
+        for c in range(n_clusters):
+            lo, hi = bounds[c], bounds[c + 1]
+            blk = RNG.random((hi - lo, hi - lo))
+            S[lo:hi, lo:hi] = np.where(blk < 0.3, blk, 0)
+    # sprinkle random off-cluster edges
+    mask = RNG.random((N, N)) < density
+    S[mask] = RNG.random(mask.sum())
+    return S
+
+
+@pytest.mark.parametrize("N,R,bs", [(100, 16, 32), (256, 64, 128),
+                                    (300, 40, 128), (64, 8, 8)])
+def test_bcsr_matches_dense(N, R, bs):
+    S = _sparse_matrix(N)
+    x = RNG.random((R, N))
+    blocks, brow, bcol = spmm.dense_to_bcsr(S, bs)
+    got = spmm.bcsr_matmul(jnp.asarray(x, jnp.float32),
+                           jnp.asarray(blocks), jnp.asarray(brow),
+                           jnp.asarray(bcol), n_cols=N, block_size=bs,
+                           interpret=True)
+    want = x @ S
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_bcsr_pattern_extraction():
+    S = _sparse_matrix(128)
+    blocks, brow, bcol = spmm.dense_to_bcsr(S, 32)
+    blocks2 = spmm.dense_to_bcsr_with_pattern(S * 2.0, 32, brow, bcol)
+    np.testing.assert_allclose(blocks2, 2 * blocks, atol=1e-6)
+
+
+def test_bcsr_all_zero_matrix():
+    S = np.zeros((64, 64))
+    x = RNG.random((8, 64))
+    blocks, brow, bcol = spmm.dense_to_bcsr(S, 32)
+    got = spmm.bcsr_matmul(jnp.asarray(x, jnp.float32), jnp.asarray(blocks),
+                           jnp.asarray(brow), jnp.asarray(bcol), n_cols=64,
+                           block_size=32, interpret=True)
+    np.testing.assert_allclose(got, np.zeros((8, 64)), atol=1e-6)
+
+
+def test_gso_bcsr_gshift_matches_dense():
+    from graph_neural_networks_tpu.ops import gso as gso_lib
+    N = 96
+    S = np.stack([_sparse_matrix(N), _sparse_matrix(N)])
+    x = RNG.random((3, 2, 4, N)).astype(np.float32)  # B x E x G x N
+    g_dense = gso_lib.as_gso(S, mode="dense")
+    want = gso_lib.gshift(g_dense, jnp.asarray(x))
+    # bcsr path in interpret mode: monkeypatch the kernel call
+    import functools
+    orig = spmm.bcsr_matmul
+    try:
+        spmm.bcsr_matmul = functools.partial(orig, interpret=True)
+        g_bcsr = gso_lib.as_gso(S, mode="bcsr", block_size=32)
+        got = gso_lib.gshift(g_bcsr, jnp.asarray(x))
+    finally:
+        spmm.bcsr_matmul = orig
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
