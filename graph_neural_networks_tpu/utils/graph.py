@@ -43,6 +43,7 @@ __all__ = [
     "perm_spectral_proxies", "perm_eds", "permutation_by_name",
     "edge_fail_sampling", "Graph", "spline_basis", "coarsen",
     "compute_coarsening_perm", "pad_coarsened_data",
+    "nv_copy_nodes", "ev_sparsity_pattern",
 ]
 
 
@@ -498,6 +499,64 @@ class Graph:
 
 
 # ---------------------------------------------------------------------------
+# Per-layer structural precomputes (consumed by models.layers)
+# ---------------------------------------------------------------------------
+
+def nv_copy_nodes(S, M: int) -> np.ndarray:
+    """Tap-copy map for the hybrid node-variant filter.
+
+    The first M nodes (in the importance order baked into S) own independent
+    taps; every other node copies the tap of its nearest selected node by
+    hop distance, ties broken by smallest index (reference semantics of
+    NodeVariantGF.addGSO, graphML.py:2403-2468). Returns int array (N,)
+    with values < M.
+    """
+    S = np.asarray(S)
+    N = S.shape[-1]
+    if M >= N:
+        return np.arange(N, dtype=np.int64)
+    copy_nodes = np.arange(N, dtype=np.int64)
+    pending = list(range(M, N))
+    K = 1
+    while pending:
+        nb = compute_neighborhood(S, K, nb=M, output_type="list")
+        still = []
+        for n in pending:
+            if len(nb[n]) > 0:
+                copy_nodes[n] = int(min(nb[n]))
+            else:
+                still.append(n)
+        pending = still
+        K += 1
+        assert K <= N + 1, "graph has nodes unreachable from the first M"
+    return copy_nodes
+
+
+def ev_sparsity_pattern(S, M=None):
+    """Sparsity masks for the (hybrid) edge-variant filter.
+
+    Returns (identity_mask, shift_mask), both (E, N, N): shift_mask is the
+    (|S|+I > 0) support ANDed with the hybrid mask that keeps full
+    edge-variant freedom only among/into the first M nodes; identity_mask is
+    the (hybrid-masked) identity used at k=0 (reference
+    EdgeVariantGF.addGSO, graphML.py:2608-2668).
+    """
+    S = np.asarray(S)
+    if S.ndim == 2:
+        S = S[None]
+    E, N, _ = S.shape
+    M = N if M is None else int(M)
+    eye = np.broadcast_to(np.eye(N), (E, N, N)).copy()
+    pattern = ((np.abs(S) + eye) > ZERO_TOL).astype(np.float64)
+    if M < N:
+        hybrid = np.ones((N, N))
+        hybrid[M:, M:] = 0.0
+        pattern = pattern * hybrid[None]
+        eye = eye * hybrid[None]
+    return eye, pattern
+
+
+# ---------------------------------------------------------------------------
 # B-spline basis (for spectral filters with M < N coefficients)
 # ---------------------------------------------------------------------------
 
@@ -526,7 +585,8 @@ def spline_basis(K: int, x, degree: int = 3) -> np.ndarray:
         return out
 
     B = np.column_stack([basis_fn(k, degree) for k in range(K)])
-    B[-1, -1] = 1.0
+    # the half-open Cox-de Boor intervals leave the right endpoint uncovered
+    B[np.isclose(x, x.max()), -1] = 1.0
     return B
 
 

@@ -1,0 +1,233 @@
+"""Architecture zoo smoke + contract tests: init, forward shapes,
+split_forward, changeGSO, single_node_forward, parameter shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_neural_networks_tpu.models import architectures as archs
+from graph_neural_networks_tpu.models import architectures_time as archt
+from graph_neural_networks_tpu.utils import graph as gt
+
+RNG = np.random.default_rng(11)
+N, B = 24, 3
+
+
+@pytest.fixture(scope="module")
+def gso():
+    W = gt.create_graph("SBM", N, {"nCommunities": 3, "probIntra": 0.8,
+                                   "probInter": 0.2},
+                        rng=np.random.default_rng(0))
+    return W / np.max(np.abs(np.linalg.eigvalsh(W)))
+
+
+@pytest.fixture(scope="module")
+def x():
+    return RNG.standard_normal((B, 1, N)).astype(np.float32)
+
+
+def _check(arch, x, out_shape, key=0):
+    params = arch.init(jax.random.PRNGKey(key))
+    y = arch.apply(params, x)
+    assert y.shape == out_shape, (y.shape, out_shape)
+    assert np.all(np.isfinite(np.asarray(y)))
+    return params, y
+
+
+def test_selection_gnn(gso, x):
+    arch = archs.SelectionGNN([1, 4, 8], [3, 3], True, "relu", [16, 8],
+                              "MaxPoolLocal", [2, 2], [5], gso,
+                              order="Degree")
+    params, y = _check(arch, x, (B, 5))
+    out, y_gfl = arch.split_forward(params, x)
+    assert y_gfl.shape == (B, 8, 8)
+    np.testing.assert_allclose(out, y, atol=1e-6)
+
+
+def test_selection_gnn_no_pool(gso, x):
+    arch = archs.SelectionGNN([1, 4], [3], True, "relu", [N], "NoPool", [1],
+                              [5], gso)
+    _check(arch, x, (B, 5))
+
+
+def test_selection_gnn_change_gso(gso, x):
+    arch = archs.SelectionGNN([1, 4], [3], True, "relu", [N], "NoPool", [1],
+                              [5], gso, order="Degree")
+    params, y1 = _check(arch, x, (B, 5))
+    # new graph, same size
+    W2 = gt.create_graph("SBM", N, {"nCommunities": 2, "probIntra": 0.8,
+                                    "probInter": 0.2},
+                         rng=np.random.default_rng(5))
+    arch.changeGSO(W2 / np.max(np.abs(np.linalg.eigvalsh(W2))))
+    y2 = arch.apply(params, x)
+    assert y2.shape == (B, 5)
+    assert not np.allclose(y1, y2)
+
+
+def test_selection_gnn_coarsening(gso, x):
+    arch = archs.SelectionGNN([1, 4, 8], [3, 3], True, "relu", [0, 0],
+                              "MaxPoolLocal", [2, 2], [5], gso,
+                              coarsening=True, rng=np.random.default_rng(1))
+    _check(arch, x, (B, 5))
+
+
+def test_local_activation_gnn_max(gso, x):
+    arch = archs.LocalActivationGNN([1, 4], [3], True, "max_local", [2],
+                                    [N], "NoPool", [1], [5], gso,
+                                    order="Degree")
+    _check(arch, x, (B, 5))
+
+
+def test_local_activation_gnn_median(gso, x):
+    arch = archs.LocalActivationGNN([1, 4], [3], True, "median_local", [1],
+                                    [N], "NoPool", [1], [5], gso)
+    _check(arch, x, (B, 5))
+
+
+def test_local_gnn_and_single_node(gso, x):
+    arch = archs.LocalGNN([1, 4], [3], True, "relu", [N], "NoPool", [1],
+                          [3], gso, order="Degree")
+    params, y = _check(arch, x, (B, 3, N))
+    ysn = arch.single_node_forward(params, x, 5)
+    assert ysn.shape == (B, 3)
+    # consistency: output at permuted position of node 5
+    pos = arch.order.index(5)
+    np.testing.assert_allclose(ysn, np.asarray(y)[:, :, pos], atol=1e-6)
+
+
+def test_spectral_gnn(gso, x):
+    arch = archs.SpectralGNN([1, 4], [N], True, "relu", [N], "NoPool", [1],
+                             [5], gso)
+    _check(arch, x, (B, 5))
+
+
+def test_spectral_gnn_spline(gso, x):
+    arch = archs.SpectralGNN([1, 4], [8], True, "relu", [N], "NoPool", [1],
+                             [5], gso)
+    _check(arch, x, (B, 5))
+
+
+def test_node_variant_gnn(gso, x):
+    arch = archs.NodeVariantGNN([1, 4], [3], [10], True, "relu", [N],
+                                "NoPool", [1], [5], gso, order="Degree")
+    params, _ = _check(arch, x, (B, 5))
+    w = params["params"]["NodeVariantGF_0"]["weight"]
+    assert w.shape == (4, 1, 3, 1, 10)
+
+
+def test_edge_variant_gnn(gso, x):
+    arch = archs.EdgeVariantGNN([1, 4], [3], [10], True, "relu", [N],
+                                "NoPool", [1], [5], gso, order="Degree")
+    params, _ = _check(arch, x, (B, 5))
+    assert "weightLSI" in params["params"]["EdgeVariantGF_0"]
+
+
+def test_local_edge_net(gso, x):
+    arch = archs.LocalEdgeNet([1, 4], [3], [N], True, "relu", [N], "NoPool",
+                              [1], [3], gso)
+    _check(arch, x, (B, 3, N))
+
+
+def test_arma_gnn(gso, x):
+    arch = archs.ARMAfilterGNN([1, 4], [2], [3], True, "relu", [N], "NoPool",
+                               [1], [5], gso, tMax=3)
+    _check(arch, x, (B, 5))
+
+
+def test_local_arma(gso, x):
+    arch = archs.LocalARMA([1, 4], [2], [3], True, "relu", [N], "NoPool",
+                           [1], [3], gso, tMax=3)
+    _check(arch, x, (B, 3, N))
+
+
+def test_aggregation_gnn(gso, x):
+    arch = archs.AggregationGNN([1, 4, 8], [3, 3], True, "relu",
+                                "MaxPoolLocal", [2, 2], [5], gso,
+                                order="Degree", maxN=16)
+    _check(arch, x, (B, 5))
+
+
+def test_multinode_aggregation_gnn(gso, x):
+    arch = archs.MultiNodeAggregationGNN(
+        [4, 2], [8, 6], [[1, 4], [4, 8], [8]], [[3], [3]], True, "relu",
+        "MaxPoolLocal", [[2], [2]], [5], gso, order="Degree")
+    params = arch.init(jax.random.PRNGKey(0))
+    y = arch.apply(params, x)
+    assert y.shape == (B, 5)
+
+
+def test_gat(gso, x):
+    arch = archs.GraphAttentionNetwork([1, 4, 8], [3, 2], "relu", [N, N],
+                                       "NoPool", [1, 1], [5], True, gso)
+    _check(arch, x, (B, 5))
+
+
+def test_gcat(gso, x):
+    arch = archs.GraphConvolutionAttentionNetwork(
+        [1, 4], [3], [2], True, "relu", [N], "NoPool", [1], [5], gso)
+    _check(arch, x, (B, 5))
+
+
+def test_edge_variant_attention(gso, x):
+    arch = archs.EdgeVariantAttention([1, 4], [2], [2], True, "relu", [N],
+                                      "NoPool", [1], [5], gso)
+    _check(arch, x, (B, 5))
+
+
+T = 4
+
+
+def test_graph_recurrent_nn(gso):
+    arch = archs.GraphRecurrentNN(1, 2, 6, [3, 3], True, "tanh", "relu",
+                                  "relu", [2], gso)
+    params = arch.init(jax.random.PRNGKey(0), T=T)
+    xt = RNG.standard_normal((B, T, 1, N)).astype(np.float32)
+    y = arch.apply(params, xt, rng=jax.random.PRNGKey(1))
+    assert y.shape == (B, T, 2, N)
+    ysn = arch.single_node_forward(params, xt, 3, rng=jax.random.PRNGKey(1))
+    assert ysn.shape == (B, T, 2)
+
+
+@pytest.mark.parametrize("gate", ["time", "node", "edge"])
+def test_gated_graph_recurrent_nn(gso, gate):
+    arch = archs.GatedGraphRecurrentNN(1, 2, 4, [2, 2], True, "tanh", "relu",
+                                       "relu", [2], gso, gateType=gate)
+    params = arch.init(jax.random.PRNGKey(0), T=T)
+    xt = RNG.standard_normal((B, T, 1, N)).astype(np.float32)
+    y = arch.apply(params, xt, rng=jax.random.PRNGKey(1))
+    assert y.shape == (B, T, 2, N)
+
+
+def _time_S(gso):
+    S = np.broadcast_to(gso, (B, T, N, N)).copy()
+    return S[:, :, None]  # B x T x 1 x N x N
+
+
+def test_local_gnn_db(gso):
+    arch = archt.LocalGNN_DB([1, 4], [3], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=N, T=T)
+    xt = RNG.standard_normal((B, T, 1, N)).astype(np.float32)
+    y = arch.apply(params, xt, _time_S(gso))
+    assert y.shape == (B, T, 2, N)
+    ysn = arch.single_node_forward(params, xt, _time_S(gso), 0)
+    assert ysn.shape == (B, T, 2)
+
+
+def test_graph_recurrent_nn_db(gso):
+    arch = archt.GraphRecurrentNN_DB(1, 2, 4, [2, 2], True, "tanh", "relu",
+                                     "relu", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=N, T=T)
+    xt = RNG.standard_normal((B, T, 1, N)).astype(np.float32)
+    y = arch.apply(params, xt, _time_S(gso), rng=jax.random.PRNGKey(2))
+    assert y.shape == (B, T, 2, N)
+
+
+def test_aggregation_gnn_db(gso):
+    arch = archt.AggregationGNN_DB([1, 4, 8], [3, 2], True, "relu",
+                                   "MaxPoolLocal", [2, 2], [2], 1,
+                                   nExchanges=12)
+    params = arch.init(jax.random.PRNGKey(0), N=N, T=T)
+    xt = RNG.standard_normal((B, T, 1, N)).astype(np.float32)
+    y = arch.apply(params, xt, _time_S(gso))
+    assert y.shape == (B, T, 2, N)
