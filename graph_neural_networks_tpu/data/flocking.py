@@ -1,0 +1,357 @@
+"""Flocking dataset: swarm imitation learning for decentralized control.
+
+Re-design of the reference's ``Flocking`` (dataTools.py:2210-4005):
+  * expert (centralized) controller rollouts for supervision,
+  * pairwise-distance communication graphs renormalized by lambda_max,
+  * 6-feature agent states,
+  * closed-loop `compute_trajectory` that runs a trained architecture in
+    the loop (the evaluation path for decentralized controllers),
+  * velocity-variance flocking cost.
+
+The physics is pure array math; the closed-loop rollout feeds the model a
+zero-padded full-horizon history each step (causal unit-delay filters
+ignore the future), so one jitted forward serves every step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from graph_neural_networks_tpu.data.base import Data, ZERO_TOL, invert_tensor_ew
+
+
+def compute_differences(u: np.ndarray):
+    """Pairwise differences u_i - u_j and squared distances.
+
+    u: (S, 2, N) or (S, T, 2, N) ->
+    diff: (S, [T,] 2, N, N), dist_sq: (S, [T,] N, N).
+    Reference: dataTools.py:3341-3404."""
+    squeeze = u.ndim == 3
+    if squeeze:
+        u = u[:, None]
+    diff = u[..., :, None] - u[..., None, :]          # S x T x 2 x N x N
+    dist_sq = np.sum(diff ** 2, axis=-3)              # S x T x N x N
+    if squeeze:
+        return diff[:, 0], dist_sq[:, 0]
+    return diff, dist_sq
+
+
+class Flocking(Data):
+
+    def __init__(self, nAgents, commRadius, repelDist, nTrain, nValid, nTest,
+                 duration, samplingTime, initGeometry="circular",
+                 initVelValue=3.0, initMinDist=0.1, accelMax=10.0,
+                 normalizeGraph=True, doPrint=False, dataType=np.float64,
+                 rng=None):
+        super().__init__()
+        rng = np.random.default_rng() if rng is None else rng
+        self.rng = rng
+        self.nAgents = nAgents
+        self.commRadius = commRadius
+        self.repelDist = repelDist
+        self.nTrain, self.nValid, self.nTest = nTrain, nValid, nTest
+        self.duration = float(duration)
+        self.samplingTime = samplingTime
+        self.initGeometry = initGeometry
+        self.initVelValue = initVelValue
+        self.initMinDist = initMinDist
+        self.accelMax = accelMax
+        self.normalizeGraph = normalizeGraph
+        self.doPrint = doPrint
+        self.dataType = dataType
+        n_samples = nTrain + nValid + nTest
+
+        init_pos, init_vel = self.compute_initial_positions(
+            nAgents, n_samples, commRadius, minDist=initMinDist,
+            geometry=initGeometry, xMaxInitVel=initVelValue,
+            yMaxInitVel=initVelValue)
+        pos, vel, accel = self.compute_optimal_trajectory(
+            init_pos, init_vel, self.duration, samplingTime, repelDist,
+            accelMax=accelMax)
+        comm_graph = self.compute_communication_graph(pos, commRadius,
+                                                      normalizeGraph)
+        state = self.compute_states(pos, vel, comm_graph)
+
+        self.initPos, self.initVel = {}, {}
+        self.pos, self.vel, self.accel = {}, {}, {}
+        self.commGraph, self.state = {}, {}
+        bounds = [0, nTrain, nTrain + nValid, n_samples]
+        for i, name in enumerate(("train", "valid", "test")):
+            sl = slice(bounds[i], bounds[i + 1])
+            self.samples[name]["signals"] = state[sl].copy()
+            self.samples[name]["targets"] = accel[sl].copy()
+            self.initPos[name] = init_pos[sl]
+            self.initVel[name] = init_vel[sl]
+            self.pos[name] = pos[sl]
+            self.vel[name] = vel[sl]
+            self.accel[name] = accel[sl]
+            self.commGraph[name] = comm_graph[sl]
+            self.state[name] = state[sl]
+        self.astype(dataType)
+
+    # -- reference-named aliases -------------------------------------------
+    def getData(self, name, samplesType, *args):
+        """Fetch auxiliary trajectories: 'pos'|'vel'|'accel'|'commGraph'|
+        'state'|'initPos'|'initVel' (reference dataTools.py:3021-3080)."""
+        store = {"pos": self.pos, "vel": self.vel, "accel": self.accel,
+                 "commGraph": self.commGraph, "state": self.state,
+                 "initPos": self.initPos, "initVel": self.initVel}[name]
+        out = store[samplesType]
+        if len(args) == 1:
+            if isinstance(args[0], int):
+                idx = np.random.permutation(out.shape[0])[:args[0]]
+            else:
+                idx = np.asarray(args[0])
+            out = out[idx]
+        return out
+
+    get_data = getData
+
+    # -- initial conditions (reference dataTools.py:3508-3700) --------------
+    def compute_initial_positions(self, nAgents, nSamples, commRadius,
+                                  minDist=0.1, geometry="rectangular",
+                                  xMaxInitVel=3.0, yMaxInitVel=3.0):
+        rng = self.rng
+        assert geometry in ("rectangular", "circular")
+        min_dist = minDist * (1 + ZERO_TOL)
+        comm_radius = commRadius * (1 - ZERO_TOL)
+        if geometry == "rectangular":
+            dist_fixed = (comm_radius + min_dist) / (2.0 * np.sqrt(2))
+            dist_perturb = (comm_radius - min_dist) / (4.0 * np.sqrt(2))
+            per_axis = int(np.ceil(np.sqrt(nAgents)))
+            axis = np.arange(-(per_axis * dist_fixed) / 2,
+                             (per_axis * dist_fixed) / 2, step=dist_fixed)
+            xf = np.tile(axis, per_axis)
+            yf = np.repeat(axis, per_axis)
+            fixed = np.stack([xf, yf])[:, :nAgents]
+            fixed = np.repeat(fixed[None], nSamples, axis=0)
+            perturb = rng.uniform(-dist_perturb, dist_perturb,
+                                  (nSamples, 2, nAgents))
+            init_pos = fixed + perturb
+        else:
+            r_fixed = (comm_radius + min_dist) / 2.0
+            r_perturb = (comm_radius - min_dist) / 4.0
+            fixed_radius = np.arange(0, r_fixed * nAgents, step=r_fixed) + r_fixed
+            a_fixed = (comm_radius / fixed_radius + min_dist / fixed_radius) / 2.0
+            for a in range(len(a_fixed)):
+                per_circle = 2 * np.pi // a_fixed[a]
+                a_fixed[a] = 2 * np.pi / per_circle
+            init_radius = np.empty(0)
+            init_angles = np.empty(0)
+            agents_so_far, n = 0, 0
+            while agents_so_far < nAgents:
+                this_angles = np.arange(0, 2 * np.pi, step=a_fixed[n])
+                agents_so_far += len(this_angles)
+                init_radius = np.concatenate(
+                    [init_radius, np.repeat(fixed_radius[n], len(this_angles))])
+                init_angles = np.concatenate([init_angles, this_angles])
+                n += 1
+            init_radius = init_radius[:nAgents]
+            init_angles = init_angles[:nAgents]
+            init_radius = np.repeat(init_radius[None], nSamples, 0)
+            init_angles = np.repeat(init_angles[None], nSamples, 0)
+            init_radius += rng.uniform(-r_perturb, r_perturb,
+                                       (nSamples, nAgents))
+            per_angle_perturb = min(a_fixed) / 4
+            init_angles += rng.uniform(-per_angle_perturb, per_angle_perturb,
+                                       (nSamples, nAgents))
+            init_pos = np.stack([init_radius * np.cos(init_angles),
+                                 init_radius * np.sin(init_angles)], axis=1)
+        # velocities: uniform per-sample bias + small per-agent perturbation
+        # (all agents roughly share a velocity, as in the reference :3668-3697)
+        x_vel = rng.uniform(-xMaxInitVel, xMaxInitVel, (nSamples, 1))
+        y_vel = rng.uniform(-yMaxInitVel, yMaxInitVel, (nSamples, 1))
+        vel_bias = np.stack([x_vel, y_vel], axis=1)   # nSamples x 2 x 1
+        perturb = rng.uniform(-xMaxInitVel / 10, xMaxInitVel / 10,
+                              (nSamples, 2, nAgents))
+        init_vel = vel_bias + perturb
+        return init_pos, init_vel
+
+    compute_initial_positions.__doc__ = "Grid/circle initial placement with perturbations."
+    computeInitialPositions = compute_initial_positions
+
+    # -- expert controller (reference dataTools.py:3406-3506) ---------------
+    def compute_optimal_trajectory(self, initPos, initVel, duration,
+                                   samplingTime, repelDist, accelMax=100.0):
+        nSamples, _, nAgents = initPos.shape
+        time = np.arange(0, duration, samplingTime)
+        T = len(time)
+        pos = np.zeros((nSamples, T, 2, nAgents))
+        vel = np.zeros((nSamples, T, 2, nAgents))
+        accel = np.zeros((nSamples, T, 2, nAgents))
+        pos[:, 0] = initPos
+        vel[:, 0] = initVel
+        for t in range(1, T):
+            diff_pos, dist_sq = compute_differences(pos[:, t - 1])
+            diff_vel, _ = compute_differences(vel[:, t - 1])
+            repel_mask = (dist_sq < repelDist ** 2).astype(np.float64)
+            diff_pos = diff_pos * repel_mask[:, None]
+            dist_sq_inv = invert_tensor_ew(dist_sq)[:, None]
+            accel[:, t - 1] = (-np.sum(diff_vel, axis=3)
+                               + 2 * np.sum(diff_pos * (dist_sq_inv ** 2
+                                                        + dist_sq_inv), axis=3))
+            np.clip(accel[:, t - 1], -accelMax, accelMax, out=accel[:, t - 1])
+            vel[:, t] = accel[:, t - 1] * samplingTime + vel[:, t - 1]
+            pos[:, t] = (accel[:, t - 1] * samplingTime ** 2 / 2
+                         + vel[:, t - 1] * samplingTime + pos[:, t - 1])
+        return pos, vel, accel
+
+    computeOptimalTrajectory = compute_optimal_trajectory
+
+    # -- communication graph (reference dataTools.py:2816-3020) -------------
+    def compute_communication_graph(self, pos, commRadius, normalizeGraph,
+                                    kernelType="gaussian", weighted=False,
+                                    kernelScale=1.0):
+        squeeze = False
+        if pos.ndim == 3:
+            pos = pos[:, None]
+            squeeze = True
+        nSamples, T, _, N = pos.shape
+        _, dist_sq = compute_differences(pos)
+        if kernelType == "gaussian":
+            W = np.exp(-kernelScale * dist_sq)
+        else:
+            W = dist_sq.copy()
+        W[dist_sq > commRadius ** 2] = 0.0
+        idx = np.arange(N)
+        W[:, :, idx, idx] = 0.0
+        if not weighted:
+            W = (W > ZERO_TOL).astype(np.float64)
+        if normalizeGraph:
+            eigs = np.linalg.eigvalsh(W)
+            lam = np.max(eigs, axis=-1)
+            lam[np.abs(lam) < ZERO_TOL] = 1.0
+            W = W / lam[..., None, None]
+        return W[:, 0] if squeeze else W
+
+    computeCommunicationGraph = compute_communication_graph
+
+    # -- states (reference dataTools.py:2612-2815) --------------------------
+    def compute_states(self, pos, vel, graphMatrix):
+        diff_pos, dist_sq = compute_differences(pos)
+        diff_vel, _ = compute_differences(vel)
+        adj = (np.abs(graphMatrix) > ZERO_TOL).astype(np.float64)[..., None, :, :]
+        dist_sq_inv = invert_tensor_ew(dist_sq)[..., None, :, :] * adj
+        diff_pos = diff_pos * adj
+        diff_vel = diff_vel * adj
+        state_vel = np.sum(diff_vel, axis=-1)
+        state_pos_fourth = np.sum(diff_pos * dist_sq_inv ** 2, axis=-1)
+        state_pos_sq = np.sum(diff_pos * dist_sq_inv, axis=-1)
+        return np.concatenate([state_vel, state_pos_fourth, state_pos_sq],
+                              axis=-2)
+
+    computeStates = compute_states
+
+    # -- closed-loop rollout (reference dataTools.py:3166-3340) -------------
+    def compute_trajectory(self, initPos, initVel, duration, archit=None,
+                           accel=None, params=None, rng=None, doPrint=None):
+        """Roll the swarm forward. Either apply a given open-loop `accel`
+        sequence, or run `archit` (params, x_hist, S_hist) -> accel closed
+        loop: at each step the model sees the (zero-padded) history and its
+        output at the current step drives the physics."""
+        assert archit is not None or accel is not None
+        initPos = np.asarray(initPos, np.float64)
+        initVel = np.asarray(initVel, np.float64)
+        B, _, N = initPos.shape
+        T = len(np.arange(0, duration, self.samplingTime))
+        pos = np.zeros((B, T, 2, N))
+        vel = np.zeros((B, T, 2, N))
+        pos[:, 0] = initPos
+        vel[:, 0] = initVel
+        if accel is not None:
+            accel = np.asarray(accel, np.float64)
+            for t in range(1, T):
+                vel[:, t] = accel[:, t - 1] * self.samplingTime + vel[:, t - 1]
+                pos[:, t] = (accel[:, t - 1] * self.samplingTime ** 2 / 2
+                             + vel[:, t - 1] * self.samplingTime
+                             + pos[:, t - 1])
+            return pos, vel, accel, None, None
+
+        accel_out = np.zeros((B, T, 2, N))
+        state_hist = np.zeros((B, T, 6, N))
+        graph_hist = np.zeros((B, T, N, N))
+        g0 = self.compute_communication_graph(pos[:, 0], self.commRadius,
+                                              True)
+        graph_hist[:, 0] = g0
+        state_hist[:, 0] = self.compute_states(pos[:, :1], vel[:, :1],
+                                               graph_hist[:, :1])[:, 0]
+        for t in range(1, T):
+            # model acts on the padded full-horizon history; causal filters
+            # ignore the zero future
+            y = archit(params, state_hist, graph_hist)
+            y = np.asarray(y)
+            accel_out[:, t - 1] = np.clip(y[:, t - 1], -self.accelMax,
+                                          self.accelMax)
+            vel[:, t] = accel_out[:, t - 1] * self.samplingTime + vel[:, t - 1]
+            pos[:, t] = (accel_out[:, t - 1] * self.samplingTime ** 2 / 2
+                         + vel[:, t - 1] * self.samplingTime + pos[:, t - 1])
+            gt_ = self.compute_communication_graph(pos[:, t], self.commRadius,
+                                                   True)
+            graph_hist[:, t] = gt_
+            state_hist[:, t] = self.compute_states(
+                pos[:, t:t + 1], vel[:, t:t + 1],
+                graph_hist[:, t:t + 1])[:, 0]
+        return pos, vel, accel_out, state_hist, graph_hist
+
+    computeTrajectory = compute_trajectory
+
+    # -- cost (reference dataTools.py:3082-3164) ----------------------------
+    def evaluate(self, vel=None, accel=None, initVel=None, samplingTime=None):
+        """Velocity-variance flocking cost: sum over time of the mean squared
+        deviation from the swarm-average velocity, averaged over samples."""
+        if samplingTime is None:
+            samplingTime = self.samplingTime
+        if vel is None:
+            assert accel is not None and initVel is not None
+            B, T, _, N = accel.shape
+            vel = np.zeros((B, T, 2, N))
+            vel[:, 0] = initVel
+            for t in range(1, T):
+                vel[:, t] = accel[:, t - 1] * samplingTime + vel[:, t - 1]
+        avg_vel = vel.mean(axis=3, keepdims=True)
+        diff = vel - avg_vel
+        cost_t = np.mean(np.sum(diff ** 2, axis=2), axis=2)  # B x T
+        return float(np.mean(np.sum(cost_t, axis=1)))
+
+    def astype(self, dataType):
+        for key in ("train", "valid", "test"):
+            for store in (self.initPos, self.initVel, self.pos, self.vel,
+                          self.accel, self.commGraph, self.state):
+                store[key] = np.asarray(store[key]).astype(dataType)
+        super().astype(dataType)
+
+    def expandDims(self):
+        pass  # flocking signals already carry their feature dimension
+
+    expand_dims = expandDims
+
+    def saveVideo(self, saveDir, pos, *args, **kwargs):
+        """Save trajectory snapshots (matplotlib). Video encoding (ffmpeg)
+        is attempted, falls back to per-frame PNGs."""
+        import os
+        os.makedirs(saveDir, exist_ok=True)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        pos = np.asarray(pos)
+        if pos.ndim == 3:
+            pos = pos[None]
+        sample = pos[0]                               # T x 2 x N
+        step = max(len(sample) // 25, 1)
+        paths = []
+        for i, t in enumerate(range(0, len(sample), step)):
+            fig, ax = plt.subplots(figsize=(4, 4))
+            ax.scatter(sample[t, 0], sample[t, 1], s=8)
+            ax.set_title(f"t = {t}")
+            p = os.path.join(saveDir, f"frame{i:03d}.png")
+            fig.savefig(p)
+            plt.close(fig)
+            paths.append(p)
+        return paths
+
+    save_video = saveVideo
