@@ -29,3 +29,7 @@ matmul chains feeding a single MXU contraction.
 __version__ = "0.1.0"
 
 from graph_neural_networks_tpu import utils  # noqa: F401
+from graph_neural_networks_tpu import ops  # noqa: F401
+from graph_neural_networks_tpu import models  # noqa: F401
+from graph_neural_networks_tpu import data  # noqa: F401
+from graph_neural_networks_tpu import training  # noqa: F401

@@ -1,0 +1,84 @@
+"""Evaluators: run the Best and Last checkpoints on the test set.
+
+Re-designs of ``alegnn/modules/evaluation.py``:
+  evaluate (:18-89), evaluateSingleNode (:91-168),
+  evaluateFlocking (:170-328) — the flocking evaluator rolls the trained
+  controller closed-loop and reports the cost over the full trajectory and
+  at the final instant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _with_checkpoints(model, fn):
+    out = {}
+    for label in ("Best", "Last"):
+        try:
+            model.load(label)
+        except FileNotFoundError:
+            continue
+        out[label] = fn(model)
+    return out
+
+
+def evaluate(model, data, **kwargs):
+    """costBest/costLast: data.evaluate on archit(xTest)."""
+    xTest, yTest = data.getSamples("test")
+
+    def run(m):
+        yHat = m.archit.apply(m.params, jnp.asarray(xTest, jnp.float32))
+        return float(data.evaluate(np.asarray(yHat), yTest))
+    out = _with_checkpoints(model, run)
+    return {"costBest": out.get("Best"), "costLast": out.get("Last")}
+
+
+def evaluate_single_node(model, data, **kwargs):
+    """Same, through singleNodeForward with test-set label ids."""
+    xTest, yTest = data.getSamples("test")
+    ids = data.getLabelID("test")
+
+    def run(m):
+        yHat = m.archit.single_node_forward(
+            m.params, jnp.asarray(xTest, jnp.float32), list(ids))
+        return float(data.evaluate(np.asarray(yHat), yTest))
+    out = _with_checkpoints(model, run)
+    return {"costBest": out.get("Best"), "costLast": out.get("Last")}
+
+
+evaluateSingleNode = evaluate_single_node
+
+
+def evaluate_flocking(model, data, nVideos: int = 0, **kwargs):
+    """Closed-loop trajectory cost for Best/Last over the test initial
+    conditions; cost over the full trajectory + at the final instant."""
+    init_pos = data.getData("initPos", "test")
+    init_vel = data.getData("initVel", "test")
+
+    def run(m):
+        def policy(_p, x_hist, S_hist):
+            S5 = S_hist[:, :, None]
+            return np.asarray(m.archit.apply(
+                m.params, jnp.asarray(x_hist, jnp.float32),
+                jnp.asarray(S5, jnp.float32)))
+        pos, vel, _, _, _ = data.compute_trajectory(
+            init_pos, init_vel, data.duration, archit=policy, params=None)
+        full = float(data.evaluate(vel=vel))
+        end = float(data.evaluate(vel=vel[:, -1:]))
+        return {"full": full, "end": end, "pos": pos}
+
+    out = _with_checkpoints(model, run)
+    result = {}
+    for label in ("Best", "Last"):
+        if label in out:
+            result[f"cost{label}Full"] = out[label]["full"]
+            result[f"cost{label}End"] = out[label]["end"]
+            if nVideos > 0:
+                data.saveVideo(f"{model.saveDir}/videos{label}",
+                               out[label]["pos"][:nVideos])
+    return result
+
+
+evaluateFlocking = evaluate_flocking

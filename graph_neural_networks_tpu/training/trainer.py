@@ -1,0 +1,403 @@
+"""Trainers: the general training loop, the single-node variant, and the
+flocking imitation-learning trainer with DAGger.
+
+Re-designs of ``alegnn/modules/training.py``:
+  * Trainer (:29-578): minibatch loop with uneven last batch, per-epoch
+    shuffle, validation every `validationInterval` steps, best-on-validation
+    checkpointing, optional StepLR-style decay and early-stopping lag.
+  * TrainerSingleNode (:580-714): forward through singleNodeForward with
+    per-sample target ids (MovieLens).
+  * TrainerFlocking (:716-1696): imitation of the expert controller with
+    optional DAGger ('fixedBatch' | 'randomEpoch' | 'replaceTimeBatch').
+
+The train step is a single jitted value_and_grad + optax update; data stays
+in numpy between steps (host) and crosses to device per batch.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import inspect
+
+from graph_neural_networks_tpu.utils.misc import append_jsonl
+
+
+def _accepts_rng(fn) -> bool:
+    try:
+        return "rng" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def _batch_bounds(n_train: int, batch_size) -> list:
+    """Batch index bounds with uneven last batch
+    (reference training.py:176-200)."""
+    if isinstance(batch_size, int):
+        if n_train < batch_size:
+            sizes = [n_train]
+        else:
+            n_batches = np.ceil(n_train / batch_size).astype(int)
+            sizes = [batch_size] * n_batches
+            if sum(sizes) != n_train:
+                sizes[-1] = n_train - sum(sizes[:-1])
+    else:
+        sizes = list(batch_size)
+    return [0] + list(np.cumsum(sizes))
+
+
+class Trainer:
+
+    def __init__(self, model, data, nEpochs: int, batchSize: int, **kwargs):
+        self.model = model
+        self.data = data
+        self.nEpochs = nEpochs
+        self.batchSize = batchSize
+        self.validationInterval = kwargs.get("validationInterval",
+                                             max(data.nTrain // batchSize, 1))
+        self.printInterval = kwargs.get("printInterval", 0)
+        self.doPrint = self.printInterval > 0
+        self.earlyStoppingLag = kwargs.get("earlyStoppingLag", 0)
+        self.doEarlyStopping = self.earlyStoppingLag > 0
+        self.learningRateDecayRate = kwargs.get("learningRateDecayRate")
+        self.learningRateDecayPeriod = kwargs.get("learningRateDecayPeriod")
+        self.doSaveVars = kwargs.get("doSaveVars", False)
+        self.metricsFile = kwargs.get("metricsFile")
+        self.rng = np.random.default_rng(kwargs.get("seed", 0))
+        self._key = jax.random.PRNGKey(kwargs.get("seed", 0))
+        # stochastic forwards (GRNN z0 ~ N(0,1) per call) get a fresh key
+        self._needs_rng = _accepts_rng(model.archit.split_forward)
+        self._build_step()
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- forward plumbing (overridden by subclasses) -----------------------
+    def _forward(self, params, x, aux, key=None):
+        if self._needs_rng:
+            key = jax.random.PRNGKey(0) if key is None else key
+            return self.model.archit.split_forward(params, x, rng=key)[0]
+        return self.model.archit.split_forward(params, x)[0]
+
+    def _train_batch_data(self, idx):
+        """Returns (x, y, aux) for the given indices."""
+        x, y = self.data.getSamples("train", idx)
+        return x, y, None
+
+    def _valid_data(self):
+        x, y = self.data.getSamples("valid")
+        return x, y, None
+
+    def _valid_cost(self, params):
+        x, y, aux = self._valid_data()
+        yHat = self._forward(params, jnp.asarray(x, jnp.float32), aux)
+        return float(self.data.evaluate(np.asarray(yHat), y))
+
+    # -- jitted step -------------------------------------------------------
+    def _build_step(self):
+        loss_fn = self.model.loss
+        optimizer = self.model.optimizer
+
+        def step(params, opt_state, x, y, aux, key):
+            def objective(p):
+                yHat = self._forward(p, x, aux, key)
+                return loss_fn(yHat, y)
+            loss, grads = jax.value_and_grad(objective)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step)
+
+    def train_batch(self, idx):
+        x, y, aux = self._train_batch_data(idx)
+        t0 = _time.perf_counter()
+        params, opt_state, loss = self._step(
+            self.model.params, self.model.opt_state,
+            jnp.asarray(x, jnp.float32), jnp.asarray(y), aux,
+            self._next_key())
+        loss = float(loss)
+        elapsed = _time.perf_counter() - t0
+        self.model.params = params
+        self.model.opt_state = opt_state
+        return loss, elapsed
+
+    # -- the loop ----------------------------------------------------------
+    def train(self):
+        model, data = self.model, self.data
+        n_train = data.nTrain
+        bounds = _batch_bounds(n_train, self.batchSize)
+        n_batches = len(bounds) - 1
+
+        if (self.learningRateDecayRate is not None
+                and self.learningRateDecayPeriod is not None
+                and isinstance(model.optimizer_spec, dict)):
+            base_lr = model.optimizer_spec.get(
+                "lr", model.optimizer_spec.get("learningRate", 1e-3))
+            rate = self.learningRateDecayRate
+            period = self.learningRateDecayPeriod
+            schedule = optax.exponential_decay(
+                base_lr, transition_steps=period * n_batches,
+                decay_rate=rate, staircase=True)
+            model.rebuild_optimizer(schedule)
+            self._build_step()
+
+        loss_train, cost_valid, time_train = [], [], []
+        best_score = None
+        best_epoch = best_batch = 0
+        lag = 0
+        epoch = 0
+        while epoch < self.nEpochs and (lag < self.earlyStoppingLag
+                                        or not self.doEarlyStopping):
+            perm = self.rng.permutation(n_train)
+            self._on_epoch_start(epoch)
+            batch = 0
+            while batch < n_batches and (lag < self.earlyStoppingLag
+                                         or not self.doEarlyStopping):
+                idx = perm[bounds[batch]:bounds[batch + 1]]
+                self._on_batch_start(epoch, batch, idx)
+                loss, elapsed = self.train_batch(idx)
+                loss_train.append(loss)
+                time_train.append(elapsed)
+                step_no = epoch * n_batches + batch
+                if self.doPrint and step_no % self.printInterval == 0:
+                    print(f"\t(E: {epoch + 1:2d}, B: {batch + 1:3d}) "
+                          f"loss {loss:7.4f} - {elapsed:.4f}s")
+                if step_no % self.validationInterval == 0:
+                    cost = self._valid_cost(model.params)
+                    cost_valid.append(cost)
+                    if self.metricsFile:
+                        append_jsonl(self.metricsFile, {
+                            "step": step_no, "loss": loss, "valid_cost": cost})
+                    if best_score is None or cost < best_score:
+                        best_score = cost
+                        best_epoch, best_batch = epoch, batch
+                        model.save(label="Best")
+                        lag = 0
+                    elif self.doEarlyStopping:
+                        lag += 1
+                batch += 1
+            epoch += 1
+
+        model.save(label="Last")
+        if best_score is not None:
+            model.load(label="Best")  # reference reloads Best at end (:571)
+        return {
+            "nEpochs": self.nEpochs, "nBatches": n_batches,
+            "batchSize": self.batchSize, "lossTrain": np.array(loss_train),
+            "costValid": np.array(cost_valid),
+            "timeTrain": np.array(time_train),
+            "bestScore": best_score, "bestEpoch": best_epoch,
+            "bestBatch": best_batch,
+        }
+
+    # hooks for subclasses
+    def _on_epoch_start(self, epoch):
+        pass
+
+    def _on_batch_start(self, epoch, batch, idx):
+        pass
+
+
+class TrainerSingleNode(Trainer):
+    """Forward through singleNodeForward with target ids from
+    data.getLabelID (reference training.py:580-714)."""
+
+    def __init__(self, model, data, nEpochs, batchSize, **kwargs):
+        super().__init__(model, data, nEpochs, batchSize, **kwargs)
+
+    def _build_step(self):
+        loss_fn = self.model.loss
+        optimizer = self.model.optimizer
+        arch = self.model.archit
+
+        def step(params, opt_state, x, y, node_pos, key):
+            def objective(p):
+                y_all = arch.core.apply(p, x, arch.ctx)[0]  # B x dim x N
+                B = y_all.shape[0]
+                yHat = y_all[jnp.arange(B), :, node_pos]
+                return loss_fn(yHat, y)
+            loss, grads = jax.value_and_grad(objective)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step)
+
+    def _node_positions(self, ids):
+        order = list(self.model.archit.order)
+        return jnp.asarray([order.index(int(n)) for n in ids])
+
+    def _train_batch_data(self, idx):
+        x, y = self.data.getSamples("train", idx)
+        ids = self.data.getLabelID("train", idx)
+        return x, y, self._node_positions(ids)
+
+    def _forward(self, params, x, aux):
+        arch = self.model.archit
+        y_all = arch.core.apply(params, x, arch.ctx)[0]
+        B = y_all.shape[0]
+        return y_all[jnp.arange(B), :, aux]
+
+    def _valid_data(self):
+        x, y = self.data.getSamples("valid")
+        ids = self.data.getLabelID("valid")
+        return x, y, self._node_positions(ids)
+
+
+class TrainerFlocking(Trainer):
+    """Imitation learning of the expert flocking controller, with optional
+    DAGger data aggregation; validation is the *closed-loop* trajectory
+    cost (reference training.py:716-1696)."""
+
+    def __init__(self, model, data, nEpochs, batchSize, **kwargs):
+        self.probExpert = kwargs.get("probExpert")
+        self.doDAGger = self.probExpert is not None
+        self.DAGgerType = kwargs.get("DAGgerType", "randomEpoch")
+        super().__init__(model, data, nEpochs, batchSize, **kwargs)
+        # training trajectories (kept in numpy; DAGger mutates them)
+        self.xAll, self.yAll = data.getSamples("train")
+        self.SAll = data.getData("commGraph", "train")
+        self.initPosAll = data.getData("initPos", "train")
+        self.initVelAll = data.getData("initVel", "train")
+        self.xOrig = self.xAll.copy()
+        self.yOrig = self.yAll.copy()
+        self.SOrig = self.SAll.copy()
+
+    # forward takes (x, S)
+    def _build_step(self):
+        loss_fn = self.model.loss
+        optimizer = self.model.optimizer
+        arch = self.model.archit
+
+        needs_rng = _accepts_rng(arch.split_forward)
+
+        def step(params, opt_state, x, y, S, key):
+            def objective(p):
+                if needs_rng:
+                    yHat = arch.split_forward(p, x, S, rng=key)[0]
+                else:
+                    yHat = arch.split_forward(p, x, S)[0]
+                return loss_fn(yHat, y)
+            loss, grads = jax.value_and_grad(objective)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step)
+
+    def train_batch(self, idx):
+        x = self.xAll[idx]
+        y = self.yAll[idx]
+        S = self.SAll[idx]
+        if self.doDAGger and self.DAGgerType == "fixedBatch" \
+                and self._step_count > 0:
+            xD, yD, SD = self._fixed_batch_dagger(self.initPosAll[idx],
+                                                  self.initVelAll[idx])
+            x = np.concatenate([x, xD], 0)
+            y = np.concatenate([y, yD], 0)
+            S = np.concatenate([S, SD], 0)
+        t0 = _time.perf_counter()
+        S5 = S[:, :, None] if S.ndim == 4 else S
+        params, opt_state, loss = self._step(
+            self.model.params, self.model.opt_state,
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            jnp.asarray(S5, jnp.float32), self._next_key())
+        self.model.params = params
+        self.model.opt_state = opt_state
+        self._step_count += 1
+        return float(loss), _time.perf_counter() - t0
+
+    def train(self):
+        self._step_count = 0
+        return super().train()
+
+    def _on_epoch_start(self, epoch):
+        if self.doDAGger and epoch > 0 and self.DAGgerType == "randomEpoch":
+            self._random_epoch_dagger(epoch)
+
+    def _on_batch_start(self, epoch, batch, idx):
+        if self.doDAGger and (epoch > 0 or batch > 0) \
+                and self.DAGgerType == "replaceTimeBatch":
+            self._replace_time_batch_dagger(epoch)
+
+    # -- policy + expert helpers ------------------------------------------
+    def _policy(self):
+        arch = self.model.archit
+        params = self.model.params
+
+        def fn(_params, x_hist, S_hist):
+            S5 = S_hist[:, :, None]
+            return np.asarray(arch.apply(
+                params, jnp.asarray(x_hist, jnp.float32),
+                jnp.asarray(S5, jnp.float32)))
+        return fn
+
+    def _expert_accel(self, pos, vel):
+        """Optimal acceleration along a visited trajectory
+        (reference training.py:1320-1400)."""
+        from graph_neural_networks_tpu.data.flocking import compute_differences
+        from graph_neural_networks_tpu.data.base import invert_tensor_ew
+        data = self.data
+        diff_pos, dist_sq = compute_differences(pos)
+        diff_vel, _ = compute_differences(vel)
+        repel = (dist_sq < data.repelDist ** 2).astype(np.float64)
+        diff_pos = diff_pos * repel[..., None, :, :]
+        inv = invert_tensor_ew(dist_sq)[..., None, :, :]
+        accel = (-np.sum(diff_vel, axis=-1)
+                 + 2 * np.sum(diff_pos * (inv ** 2 + inv), axis=-1))
+        return np.clip(accel, -data.accelMax, data.accelMax)
+
+    def _rollout_policy(self, init_pos, init_vel):
+        data = self.data
+        pos, vel, _, states, graphs = data.compute_trajectory(
+            init_pos, init_vel, data.duration, archit=self._policy(),
+            params=None)
+        y = self._expert_accel(pos, vel)
+        return states, y, graphs
+
+    # -- DAGger variants ---------------------------------------------------
+    def _fixed_batch_dagger(self, init_pos, init_vel):
+        return self._rollout_policy(init_pos, init_vel)
+
+    def _random_epoch_dagger(self, epoch):
+        p = max(self.probExpert ** epoch, 0.5)
+        n = self.xOrig.shape[0]
+        use_expert = self.rng.binomial(1, p, n).astype(bool)
+        learner_idx = np.flatnonzero(~use_expert)
+        self.xAll = self.xOrig.copy()
+        self.yAll = self.yOrig.copy()
+        self.SAll = self.SOrig.copy()
+        if len(learner_idx):
+            xs, ys, Ss = self._rollout_policy(self.initPosAll[learner_idx],
+                                              self.initVelAll[learner_idx])
+            self.xAll[learner_idx] = xs
+            self.yAll[learner_idx] = ys
+            self.SAll[learner_idx] = Ss
+
+    def _replace_time_batch_dagger(self, epoch, nReplace: int = 10):
+        n = self.xAll.shape[0]
+        nReplace = min(nReplace, n)
+        sel = self.rng.permutation(n)[:nReplace]
+        xs, ys, Ss = self._rollout_policy(self.initPosAll[sel],
+                                          self.initVelAll[sel])
+        self.xAll[sel] = xs
+        self.yAll[sel] = ys
+        self.SAll[sel] = Ss
+
+    # -- validation: closed-loop cost --------------------------------------
+    def _valid_cost(self, params):
+        data = self.data
+        init_pos = data.getData("initPos", "valid")
+        init_vel = data.getData("initVel", "valid")
+        _, vel, _, _, _ = data.compute_trajectory(
+            init_pos, init_vel, data.duration, archit=self._policy(),
+            params=None)
+        return float(data.evaluate(vel=vel))

@@ -1,0 +1,135 @@
+"""Training harness tests: Model/Trainer end-to-end on miniaturized versions
+of the example tasks (SURVEY.md §4: integration tests asserting cost
+decrease and metric contracts)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from graph_neural_networks_tpu import data as D
+from graph_neural_networks_tpu import training as T
+from graph_neural_networks_tpu.models import architectures as archs
+from graph_neural_networks_tpu.models import architectures_time as archt
+from graph_neural_networks_tpu.utils import graph as gt
+
+REF_DATASETS = "/root/reference/datasets"
+
+
+@pytest.fixture(scope="module")
+def G():
+    return gt.Graph("SBM", 24, {"nCommunities": 3, "probIntra": 0.8,
+                                "probInter": 0.2},
+                    rng=np.random.default_rng(0))
+
+
+def test_model_save_load_roundtrip(G, tmp_path):
+    S = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
+    arch = archs.SelectionGNN([1, 4], [3], True, "relu", [24], "NoPool", [1],
+                              [3], S)
+    model = T.Model(arch, T.losses.cross_entropy_loss,
+                    {"name": "ADAM", "lr": 1e-3}, T.Trainer, T.evaluate,
+                    name="roundtrip", saveDir=str(tmp_path))
+    p0 = model.params
+    model.save("Best")
+    # mutate then restore
+    import jax
+    model.params = jax.tree_util.tree_map(lambda a: a + 1.0, model.params)
+    model.load("Best")
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(model.params)):
+        np.testing.assert_allclose(a, b)
+    assert model.nParameters > 0
+
+
+def test_trainer_source_localization(G, tmp_path):
+    S = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
+    srcs = gt.compute_source_nodes(G.A, 3)
+    data = D.SourceLocalization(G, 120, 24, 24, srcs, tMax=3,
+                                rng=np.random.default_rng(1))
+    data.astype(np.float64)
+    data.expandDims()
+    arch = archs.SelectionGNN([1, 8, 8], [3, 3], True, "relu", [12, 6],
+                              "MaxPoolLocal", [2, 2], [3], S, order="Degree")
+    model = T.Model(arch, T.losses.cross_entropy_loss,
+                    {"name": "ADAM", "lr": 5e-3}, T.Trainer, T.evaluate,
+                    name="selGNN", saveDir=str(tmp_path))
+    out = model.train(data, nEpochs=12, batchSize=20, validationInterval=6)
+    assert out["lossTrain"][-3:].mean() < out["lossTrain"][:3].mean()
+    assert os.path.exists(os.path.join(str(tmp_path), "savedModels",
+                                       "selGNNBest.ckpt"))
+    res = model.evaluate(data)
+    assert res["costBest"] is not None and res["costBest"] <= 1.0
+    # better than chance on this easy short-diffusion task
+    assert res["costBest"] < 0.67
+
+
+def test_trainer_lr_decay_and_early_stopping(G, tmp_path):
+    S = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
+    srcs = gt.compute_source_nodes(G.A, 3)
+    data = D.SourceLocalization(G, 60, 12, 12, srcs, tMax=3,
+                                rng=np.random.default_rng(2))
+    data.expandDims()
+    arch = archs.SelectionGNN([1, 4], [3], True, "relu", [24], "NoPool", [1],
+                              [3], S)
+    model = T.Model(arch, T.losses.cross_entropy_loss,
+                    {"name": "ADAM", "lr": 5e-3}, T.Trainer, T.evaluate,
+                    name="decay", saveDir=str(tmp_path))
+    out = model.train(data, nEpochs=6, batchSize=20, validationInterval=2,
+                      learningRateDecayRate=0.5, learningRateDecayPeriod=2,
+                      earlyStoppingLag=50)
+    assert len(out["lossTrain"]) > 0
+
+
+def test_trainer_single_node_movielens(tmp_path):
+    data = D.MovieLens("movie", 25, 0.8, 0.1, kNN=8,
+                       rng=np.random.default_rng(3))
+    data.expandDims()
+    W = data.getGraph()
+    S = W / np.max(np.abs(np.linalg.eigvalsh(W)))
+    # single-node training needs a per-node readout (LocalGNN)
+    arch = archs.LocalGNN([1, 8], [4], True, "relu", [S.shape[0]], "NoPool",
+                          [1], [1], S, order="Degree")
+    model = T.Model(arch, T.losses.adapt_extra_dimension_loss(
+                        T.losses.smooth_l1_loss),
+                    {"name": "ADAM", "lr": 5e-3}, T.TrainerSingleNode,
+                    T.evaluate_single_node, name="movie",
+                    saveDir=str(tmp_path))
+    out = model.train(data, nEpochs=10, batchSize=8, validationInterval=5)
+    res = model.evaluate(data)
+    assert res["costBest"] is not None
+    assert res["costBest"] < 2.0  # RMSE on 1-5 scale after training
+
+
+def test_trainer_epidemic_grnn(tmp_path):
+    data = D.Epidemics(3, 0.05, 0.3, 4, 24, 8, 8, data_dir=REF_DATASETS,
+                       rng=np.random.default_rng(4))
+    data.expandDims()
+    W = data.Adj.astype(np.float64)
+    S = W / np.max(np.abs(np.linalg.eigvalsh(W)))
+    arch = archs.GraphRecurrentNN(1, 2, 4, [2, 2], True, "tanh", "relu",
+                                  "relu", [2], S)
+    model = T.Model(arch, T.losses.f1_score_loss,
+                    {"name": "ADAM", "lr": 5e-4}, T.Trainer, T.evaluate,
+                    name="grnn", saveDir=str(tmp_path))
+    out = model.train(data, nEpochs=3, batchSize=12, validationInterval=2)
+    res = model.evaluate(data)
+    assert res["costBest"] is not None
+    assert 0.0 <= res["costBest"] <= 1.0
+
+
+def test_trainer_flocking_dagger(tmp_path):
+    data = D.Flocking(nAgents=8, commRadius=6.0, repelDist=1.0, nTrain=12,
+                      nValid=4, nTest=4, duration=0.5, samplingTime=0.1,
+                      rng=np.random.default_rng(5))
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    model = T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
+                    T.TrainerFlocking, T.evaluate_flocking, name="flock",
+                    saveDir=str(tmp_path), N=8, T=5)
+    out = model.train(data, nEpochs=2, batchSize=6, validationInterval=2,
+                      probExpert=0.993, DAGgerType="randomEpoch")
+    assert len(out["lossTrain"]) == 4
+    res = model.evaluate(data)
+    assert "costBestFull" in res and np.isfinite(res["costBestFull"])
+    assert "costBestEnd" in res
