@@ -1,0 +1,90 @@
+"""Decentralized flocking controllers (reference examples/flockingGNN.py).
+
+Imitation learning of a centralized expert: time-varying GNN controllers
+that only use delayed neighbor information (unit-delay propagation).
+Compares a linear local filter, a Local GNN (delayed/batch), an
+Aggregation GNN (delayed) and a Graph RNN, trained with DAGger
+(flockingGNN.py:73-184, 247-383: 50 agents, F=[6,64], K=[3], MSE on
+accelerations, lr 5e-4, 30 epochs, batch 20, DAGger probExpert .993).
+
+Run:  python examples/flocking.py [--quick] [--cpu]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--saveDir", default="experiments/flocking")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from graph_neural_networks_tpu import data as D
+    from graph_neural_networks_tpu import training as T
+    from graph_neural_networks_tpu.models import architectures_time as archt
+
+    rng = np.random.default_rng(args.seed)
+    if args.quick:
+        nAgents, duration, dt = 12, 1.0, 0.1
+        nTrain, nValid, nTest, nEpochs, batch = 40, 8, 8, 4, 10
+        F, K, H = [6, 16], [3], 16
+    else:
+        nAgents, duration, dt = 50, 2.0, 0.01
+        nTrain, nValid, nTest, nEpochs, batch = 400, 20, 20, 30, 20
+        F, K, H = [6, 64], [3], 64
+
+    print(f"== Flocking: {nAgents} agents, duration {duration}s ==")
+    data = D.Flocking(nAgents=nAgents, commRadius=6.0, repelDist=1.0,
+                      nTrain=nTrain, nValid=nValid, nTest=nTest,
+                      duration=duration, samplingTime=dt, rng=rng)
+    T_steps = data.getData("state", "train").shape[1]
+    expert_cost = data.evaluate(vel=data.getData("vel", "test"))
+    print(f"expert (centralized) cost: {expert_cost:.4f}")
+
+    results = {}
+    models = [
+        ("LocalFlt", archt.LocalGNN_DB(F[:1] + [2], [K[0]], True, "identity",
+                                       [2], 1)),
+        ("LocalGNN", archt.LocalGNN_DB(F, K, True, "tanh", [2], 1)),
+        ("AggGNN", archt.AggregationGNN_DB([6, 16] if args.quick else [6, 32],
+                                           [2], True, "tanh", "MaxPoolLocal",
+                                           [2], [2], 1, nExchanges=4)),
+        ("GraphRNN", archt.GraphRecurrentNN_DB(6, 2, H, [K[0], K[0]], True,
+                                               "tanh", "identity", "identity",
+                                               [2], 1)),
+    ]
+    if args.quick:
+        models = [m for m in models if m[0] in ("LocalGNN", "GraphRNN")]
+
+    for name, arch in models:
+        model = T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
+                        T.TrainerFlocking, T.evaluate_flocking, name=name,
+                        saveDir=args.saveDir, seed=args.seed,
+                        N=nAgents, T=T_steps)
+        print(f"{name}: {model.nParameters} params; training (DAGger)...")
+        model.train(data, nEpochs, batch, validationInterval=20,
+                    probExpert=0.993, DAGgerType="randomEpoch")
+        res = model.evaluate(data)
+        results[name] = res
+        print(f"  closed-loop cost: best {res['costBestFull']:.4f} "
+              f"(end {res['costBestEnd']:.4f})")
+
+    print("== summary ==")
+    print(f"expert: {expert_cost:.4f}")
+    for name, res in results.items():
+        print(f"{name}: closed-loop cost {res['costBestFull']:.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

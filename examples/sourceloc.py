@@ -1,0 +1,101 @@
+"""Source localization on an SBM graph (reference examples/sourceLocGNN.py).
+
+Trains a Selection GNN (degree ordering, zero-pad pooling) and an
+Aggregation GNN to identify which community seeded a diffusion process.
+Config mirrors sourceLocGNN.py:116-176, 230-429: N=100, 5 communities,
+F=[1,32,32], K=[5,5], pooling to [10,10], MLP->5, ADAM 1e-3.
+
+Run:  python examples/sourceloc.py [--quick] [--cpu]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny config")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--saveDir", default="experiments/sourceloc")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from graph_neural_networks_tpu import data as D
+    from graph_neural_networks_tpu import training as T
+    from graph_neural_networks_tpu.models import architectures as archs
+    from graph_neural_networks_tpu.utils import graph as gt
+    from graph_neural_networks_tpu.utils import misc
+
+    rng = np.random.default_rng(args.seed)
+    if args.quick:
+        N, C = 40, 4
+        nTrain, nValid, nTest, nEpochs, batch = 1000, 120, 200, 60, 50
+        F, K, pool, mlp = [1, 16, 16], [4, 4], [20, 10], [C]
+    else:
+        N, C = 100, 5
+        nTrain, nValid, nTest, nEpochs, batch = 8000, 200, 200, 40, 100
+        F, K, pool, mlp = [1, 32, 32], [5, 5], [10, 10], [C]
+
+    print(f"== Source localization: SBM N={N}, {C} communities ==")
+    G = gt.Graph("SBM", N, {"nCommunities": C, "probIntra": 0.8,
+                            "probInter": 0.2}, rng=rng)
+    G.compute_gft()
+    S = G.W / np.max(np.diag(G.E).real)               # S = W / lambda_max
+    sources = gt.compute_source_nodes(G.A, C)
+    data = D.SourceLocalization(G, nTrain, nValid, nTest, sources,
+                                tMax=None if not args.quick else 8, rng=rng)
+    data.expandDims()
+    misc.write_var_values(f"{args.saveDir}/hyperparameters.txt", {
+        "N": N, "C": C, "F": F, "K": K, "pool": pool})
+
+    results = {}
+
+    # --- Selection GNN (Degree / EDS / SpectralProxies orderings) --------
+    orders = ["Degree"] if args.quick else ["Degree", "EDS",
+                                            "SpectralProxies"]
+    for order in orders:
+        # poolingSize = neighborhood hops summarized at each pooling stage
+        # (reference sourceLocGNN.py:253: [6, 8])
+        alpha = [3, 3] if args.quick else [6, 8]
+        arch = archs.SelectionGNN(F, K, True, "relu", pool, "MaxPoolLocal",
+                                  alpha, mlp, S, order=order)
+        model = T.Model(arch, T.losses.cross_entropy_loss,
+                        {"name": "ADAM", "lr": 1e-3}, T.Trainer, T.evaluate,
+                        name=f"SelGNN{order}", saveDir=args.saveDir,
+                        seed=args.seed)
+        print(f"SelGNN-{order}: {model.nParameters} params; training...")
+        model.train(data, nEpochs, batch, validationInterval=20)
+        res = model.evaluate(data)
+        results[f"SelGNN{order}"] = res
+        print(f"  error rate: best {res['costBest']:.4f} "
+              f"last {res['costLast']:.4f}")
+
+    # --- Aggregation GNN --------------------------------------------------
+    aggF, aggK = ([1, 8, 16], [3, 4]) if args.quick else ([1, 16, 32], [4, 8])
+    arch = archs.AggregationGNN(aggF, aggK, True, "relu", "MaxPoolLocal",
+                                [2, 2], mlp, S, order="Degree", maxN=None)
+    model = T.Model(arch, T.losses.cross_entropy_loss,
+                    {"name": "ADAM", "lr": 1e-3}, T.Trainer, T.evaluate,
+                    name="AggGNN", saveDir=args.saveDir, seed=args.seed)
+    print(f"AggGNN: {model.nParameters} params; training...")
+    model.train(data, nEpochs, batch, validationInterval=20)
+    res = model.evaluate(data)
+    results["AggGNN"] = res
+    print(f"  error rate: best {res['costBest']:.4f} "
+          f"last {res['costLast']:.4f}")
+
+    print("== summary ==")
+    for name, res in results.items():
+        print(f"{name}: test error {res['costBest']:.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,9 @@ def load_seed(load_dir: str, filename: str = "randomSeedUsed.pkl"):
 def write_var_values(file_to_write: str, var_values: Mapping[str, Any]) -> None:
     """Append `name = value` lines to a hyperparameter log file
     (reference miscTools.py:98-111)."""
+    d = os.path.dirname(file_to_write)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(file_to_write, "a") as f:
         for key, value in var_values.items():
             f.write(f"{key} = {value}\n")
