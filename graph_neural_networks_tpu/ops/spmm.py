@@ -150,3 +150,99 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
 def dense_matmul_reference(x: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
     """Dense oracle for the same contraction (y = x @ S)."""
     return x @ S
+
+
+# ---------------------------------------------------------------------------
+# Band SpMM: the fast path for banded (post-RCM) graphs
+# ---------------------------------------------------------------------------
+# After a locality-preserving node ordering (parallel.partition), real-world
+# graph GSOs are banded: S[n, m] = 0 for |n - m| > bandwidth. The band kernel
+# exploits this with NO revisit/accumulation: each grid step computes one
+# output block column as a sum of (2w+1) dense (rt x bs) @ (bs x bs) MXU
+# matmuls against the stored band slab — single-shot write, fully parallel
+# grid, O(bandwidth * N) memory instead of O(N^2).
+
+def dense_to_band(S: np.ndarray, block_size: int = 128):
+    """Host-side: extract the block band of S.
+
+    Returns (s_band (nb, (2w+1)*bs, bs), w). Fails if S has nonzeros
+    outside the detected block band? No — w is chosen to cover ALL
+    nonzeros (worst-case w = nb-1 degenerates to dense).
+    """
+    N = S.shape[0]
+    bs = block_size
+    nb = _cdiv(N, bs)
+    Np = nb * bs
+    Sp = np.zeros((Np, Np), dtype=np.float32)
+    Sp[:N, :N] = S
+    tiles = Sp.reshape(nb, bs, nb, bs).transpose(0, 2, 1, 3)
+    nz = np.abs(tiles).sum(axis=(2, 3)) > ZERO_TOL
+    rows, cols = np.nonzero(nz)
+    w = int(np.abs(rows - cols).max()) if len(rows) else 0
+    s_band = np.zeros((nb, (2 * w + 1) * bs, bs), dtype=np.float32)
+    for j in range(nb):
+        for k, i in enumerate(range(j - w, j + w + 1)):
+            if 0 <= i < nb:
+                s_band[j, k * bs:(k + 1) * bs] = tiles[i, j]
+    return s_band, w
+
+
+def _make_band_kernel(w: int, bs: int, precision):
+    def kernel(*refs):
+        x_refs = refs[:2 * w + 1]
+        s_ref, o_ref = refs[2 * w + 1], refs[2 * w + 2]
+        acc = jnp.dot(x_refs[0][:], s_ref[0, :bs, :],
+                      preferred_element_type=o_ref.dtype,
+                      precision=precision)
+        for k in range(1, 2 * w + 1):
+            acc += jnp.dot(x_refs[k][:], s_ref[0, k * bs:(k + 1) * bs, :],
+                           preferred_element_type=o_ref.dtype,
+                           precision=precision)
+        o_ref[:] = acc
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "w", "block_size",
+                                             "row_tile", "interpret",
+                                             "precision"))
+def band_matmul(x: jnp.ndarray, s_band: jnp.ndarray, *, n_cols: int, w: int,
+                block_size: int = 128, row_tile: int = 256,
+                interpret: bool = False,
+                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """y = x @ S for block-banded S in dense_to_band layout.
+
+    x: (R, N); s_band: (nb, (2w+1)*bs, bs). Out-of-range window blocks are
+    clamped to block 0 — harmless because their band rows are zero.
+    """
+    R, N = x.shape
+    bs = block_size
+    nb = _cdiv(n_cols, bs)
+    Np = nb * bs
+    Rp = _cdiv(max(R, 8), row_tile) * row_tile
+    xp = jnp.zeros((Rp, Np), x.dtype).at[:R, :N].set(x)
+
+    def make_index_map(k):
+        def index_map(i, j):
+            return (i, jnp.clip(j + k - w, 0, nb - 1))
+        return index_map
+
+    out = pl.pallas_call(
+        _make_band_kernel(w, bs, precision),
+        grid=(Rp // row_tile, nb),
+        in_specs=[pl.BlockSpec((row_tile, bs), make_index_map(k))
+                  for k in range(2 * w + 1)]
+        + [pl.BlockSpec((1, (2 * w + 1) * bs, bs), lambda i, j: (j, 0, 0))],
+        out_specs=pl.BlockSpec((row_tile, bs), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Rp, Np), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * nb * (2 * w + 1) * bs * bs,
+            bytes_accessed=(Rp * Np * 2
+                            + nb * (2 * w + 1) * bs * bs) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*([xp] * (2 * w + 1) + [s_band]))
+    return out[:R, :n_cols]

@@ -1,0 +1,19 @@
+"""Parallelism: device meshes, graph partitioning, sharded graph shifts.
+
+The reference is single-process/single-device (SURVEY.md §2.9); this
+package is new, TPU-native capability:
+
+  * ``mesh``      -- ('data', 'graph') logical mesh helpers,
+  * ``partition`` -- host-side node partitioner (contiguous blocks after a
+    locality ordering) + halo metadata,
+  * ``shift``     -- sharded SpMM paths: GSPMD (annotate + let XLA insert
+    collectives), explicit all-gather shard_map, and a ring halo-exchange
+    shard_map for banded partitions; data-parallel training utilities.
+"""
+
+from graph_neural_networks_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, data_sharding, replicated)
+from graph_neural_networks_tpu.parallel.partition import (  # noqa: F401
+    partition_nodes, GraphPartition)
+from graph_neural_networks_tpu.parallel.shift import (  # noqa: F401
+    sharded_gshift_allgather, sharded_gshift_ring, make_dp_train_step)

@@ -60,6 +60,31 @@ def test_bcsr_all_zero_matrix():
     np.testing.assert_allclose(got, np.zeros((8, 64)), atol=1e-6)
 
 
+@pytest.mark.parametrize("N,bw,bs", [(96, 20, 16), (256, 40, 32)])
+def test_band_matmul_matches_dense(N, bw, bs):
+    rng = np.random.default_rng(5)
+    S = np.zeros((N, N))
+    ii = rng.integers(0, N, size=N * 6)
+    jj = ii + rng.integers(-bw, bw + 1, size=len(ii))
+    ok = (jj >= 0) & (jj < N)
+    S[ii[ok], jj[ok]] = rng.random(ok.sum())
+    x = rng.random((10, N)).astype(np.float32)
+    s_band, w = spmm.dense_to_band(S, bs)
+    got = spmm.band_matmul(jnp.asarray(x), jnp.asarray(s_band), n_cols=N,
+                           w=w, block_size=bs, interpret=True)
+    np.testing.assert_allclose(got, x @ S, atol=1e-4, rtol=1e-4)
+
+
+def test_band_diag_only():
+    S = np.diag(np.arange(1.0, 33.0))
+    x = np.random.default_rng(0).random((4, 32)).astype(np.float32)
+    s_band, w = spmm.dense_to_band(S, 16)
+    assert w == 0
+    got = spmm.band_matmul(jnp.asarray(x), jnp.asarray(s_band), n_cols=32,
+                           w=0, block_size=16, interpret=True)
+    np.testing.assert_allclose(got, x @ S, atol=1e-5)
+
+
 def test_gso_bcsr_gshift_matches_dense():
     from graph_neural_networks_tpu.ops import gso as gso_lib
     N = 96
