@@ -169,8 +169,11 @@ def attention_gso(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
     a1, a2 = a[..., :F], a[..., F:]
     a1Wx = jnp.einsum("pef,bpefn->bpen", a1, Wx)
     a2Wx = jnp.einsum("pef,bpefn->bpen", a2, Wx)
-    # e_ij = a1.Wx_i (row i) + a2.Wx_j (col j): column-vector + row-vector sum
-    eij = jax.nn.leaky_relu(a1Wx[..., :, None] + a2Wx[..., None, :],
+    # e_ij = a2.Wx_i (row i) + a1.Wx_j (col j) — NOTE the reference
+    # broadcasts a1 along columns (graphML.py:713: a1Wx is 1 x N repeated
+    # down rows, a2Wx^T is N x 1 repeated across columns), i.e. a1 pairs
+    # with the *neighbor* j and a2 with the *center* i.
+    eij = jax.nn.leaky_relu(a2Wx[..., :, None] + a1Wx[..., None, :],
                             negative_slope=negative_slope)  # B x P x E x N x N
     mask = (jnp.abs(Seye).sum(0) > 1e-9).astype(x.dtype)    # N x N
     aij = jax.nn.softmax(eij * mask - (1 - mask) * INFINITE, axis=-1)
@@ -203,7 +206,13 @@ def gat_lsigf(h: jnp.ndarray, x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray,
     P, _, F, G = W.shape
     B, _, N = x.shape
     aij = attention_gso(x, a, W, gso, negative_slope)     # B x P x E x N x N
-    hW = jnp.einsum("ek,pefg->pfekg", h, W)               # P x F x E x K x G
+    # Filter-tap layout replicates the reference exactly (graphML.py:863-865):
+    # W.permute(0,3,1,2).reshape(P,F,E,1,G) — for F == G this transposes W's
+    # (f,g) axes relative to the attention stage; for F != G it is a raw
+    # memory reinterpretation (a reference quirk kept for activation parity;
+    # it is a fixed linear reparameterization, harmless to training).
+    W_taps = jnp.transpose(W, (0, 3, 1, 2)).reshape(P, F, E, 1, G)
+    hW = h[None, None, :, :, None] * W_taps               # P x F x E x K x G
     xe = jnp.broadcast_to(x[:, None, None], (B, P, E, G, N))
     zs = [xe]
     for _ in range(1, K):

@@ -145,7 +145,7 @@ def _attention_oracle(x, a, W, S, slope=0.2):
     a1, a2 = a[..., :Fo], a[..., Fo:]
     e1 = np.einsum("pef,bpefn->bpen", a1, Wx)
     e2 = np.einsum("pef,bpefn->bpen", a2, Wx)
-    eij = e1[..., :, None] + e2[..., None, :]
+    eij = e2[..., :, None] + e1[..., None, :]  # a1 pairs with column j
     eij = np.where(eij >= 0, eij, slope * eij)
     logits = eij * mask - (1 - mask) * 1e12
     logits = logits - logits.max(axis=-1, keepdims=True)
@@ -190,7 +190,9 @@ def test_gat_lsigf(S, x):
     a = _rand(P, E, 2 * F)
     W = _rand(P, E, F, G)
     aij = _attention_oracle(x, a, W, S)
-    hW = np.einsum("ek,pefg->pfekg", h, W)
+    # tap layout replicates the reference quirk (see filters.gat_lsigf)
+    W_taps = np.transpose(W, (0, 3, 1, 2)).reshape(P, F, E, 1, G)
+    hW = h[None, None, :, :, None] * W_taps
     want = np.zeros((B, P, F, N))
     for b_ in range(B):
         for p in range(P):
