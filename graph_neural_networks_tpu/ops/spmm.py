@@ -45,6 +45,10 @@ def dense_to_bcsr(S: np.ndarray, block_size: int = 128):
     N = S.shape[0]
     assert S.shape == (N, N)
     bs = block_size
+    import os
+    from graph_neural_networks_tpu.utils import native
+    if native.available() and not os.environ.get("GNT_NO_NATIVE"):
+        return native.bcsr_extract(np.asarray(S, np.float32), bs)
     nb = _cdiv(N, bs)
     Np = nb * bs
     Sp = np.zeros((Np, Np), dtype=S.dtype)
@@ -171,6 +175,14 @@ def dense_to_band(S: np.ndarray, block_size: int = 128):
     """
     N = S.shape[0]
     bs = block_size
+    import os
+    from graph_neural_networks_tpu.utils import native
+    if native.available() and not os.environ.get("GNT_NO_NATIVE"):
+        # pass 1 (w=0) just probes the block bandwidth; pass 2 extracts
+        S32 = np.asarray(S, np.float32)
+        _, w = native.band_extract(S32, bs, 0)
+        s_band, _ = native.band_extract(S32, bs, w)
+        return s_band, w
     nb = _cdiv(N, bs)
     Np = nb * bs
     Sp = np.zeros((Np, Np), dtype=np.float32)

@@ -28,6 +28,8 @@ Reference parity map (file:line into /root/reference):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import scipy.sparse
 import scipy.sparse.csgraph
@@ -148,6 +150,15 @@ def compute_neighborhood(S, K: int, n_rows=None, nb=None, output_type="list"):
     n_rows = N if n_rows is None else int(n_rows)
     nb = N if nb is None else int(nb)
     assert 0 <= n_rows <= N and 0 <= nb <= N
+
+    from graph_neural_networks_tpu.utils import native
+    if native.available() and not os.environ.get("GNT_NO_NATIVE"):
+        tbl, counts = native.bfs_khop(A.indptr.astype(np.int64),
+                                      A.indices.astype(np.int64),
+                                      N, K, n_rows, nb)
+        if output_type == "matrix":
+            return tbl
+        return [tbl[i, :counts[i]].copy() for i in range(n_rows)]
 
     reach = scipy.sparse.identity(N, dtype=bool, format="csr")
     hop = (A > 0).astype(bool) + scipy.sparse.identity(N, dtype=bool, format="csr")
@@ -628,13 +639,19 @@ def _match_one_level(W: scipy.sparse.csr_matrix, node_visit_order, weights):
 
 
 def _multilevel_matching(W, levels: int, rng):
+    from graph_neural_networks_tpu.utils import native
+    use_native = native.available() and not os.environ.get("GNT_NO_NATIVE")
     W = scipy.sparse.csr_matrix(W)
     graphs = [W]
     parents = []
     visit = rng.permutation(W.shape[0])
     degree = np.asarray(W.sum(axis=0)).ravel() - W.diagonal()
     for _ in range(levels):
-        cluster_id = _match_one_level(W, visit, degree)
+        if use_native:
+            cluster_id, _ = native.graclus_match(
+                W.indptr, W.indices, W.data, degree, visit, W.shape[0])
+        else:
+            cluster_id = _match_one_level(W, visit, degree)
         parents.append(cluster_id)
         row, col = W.nonzero()
         vals = np.asarray(W[row, col]).ravel()
