@@ -69,6 +69,7 @@ class Trainer:
         self.learningRateDecayPeriod = kwargs.get("learningRateDecayPeriod")
         self.doSaveVars = kwargs.get("doSaveVars", False)
         self.metricsFile = kwargs.get("metricsFile")
+        self.logger = kwargs.get("logger")  # utils.visual.Visualizer
         self.rng = np.random.default_rng(kwargs.get("seed", 0))
         self._key = jax.random.PRNGKey(kwargs.get("seed", 0))
         # stochastic forwards (GRNN z0 ~ N(0,1) per call) get a fresh key
@@ -170,12 +171,18 @@ class Trainer:
                 if self.doPrint and step_no % self.printInterval == 0:
                     print(f"\t(E: {epoch + 1:2d}, B: {batch + 1:3d}) "
                           f"loss {loss:7.4f} - {elapsed:.4f}s")
+                if self.logger is not None:
+                    self.logger.scalar_summary("Training", step_no,
+                                               lossTrain=loss)
                 if step_no % self.validationInterval == 0:
                     cost = self._valid_cost(model.params)
                     cost_valid.append(cost)
                     if self.metricsFile:
                         append_jsonl(self.metricsFile, {
                             "step": step_no, "loss": loss, "valid_cost": cost})
+                    if self.logger is not None:
+                        self.logger.scalar_summary("Validation", step_no,
+                                                   costValid=cost)
                     if best_score is None or cost < best_score:
                         best_score = cost
                         best_epoch, best_batch = epoch, batch
