@@ -54,6 +54,21 @@ def main():
     loss = T.losses.adapt_extra_dimension_loss(T.losses.smooth_l1_loss)
 
     results = {}
+
+    # --- Selection GNN: global MLP -> scalar rating, plain Trainer -------
+    if not args.quick:
+        arch = archs.SelectionGNN(F, K, True, "relu", [N] * (len(F) - 1),
+                                  "NoPool", [1] * (len(F) - 1), [1], S,
+                                  order="Degree")
+        model = T.Model(arch, loss, {"name": "ADAM", "lr": 5e-3},
+                        T.Trainer, T.evaluate, name="SelGNN",
+                        saveDir=args.saveDir, seed=args.seed)
+        print(f"SelGNN: {model.nParameters} params; training...")
+        model.train(data, nEpochs, batch, validationInterval=40)
+        res = model.evaluate(data)
+        results["SelGNN"] = res
+        print(f"  RMSE: best {res['costBest']:.4f} last {res['costLast']:.4f}")
+
     for name, layers in [("LocalGNN1Ly", 1)] + (
             [] if args.quick else [("LocalGNN2Ly", 2)]):
         Fl = F[:layers + 1]
