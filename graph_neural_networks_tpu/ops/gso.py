@@ -111,9 +111,12 @@ def as_gso(S, mode: str = "dense", block_size: int = 128,
 
 
 def dense(gso) -> jnp.ndarray:
-    """The (E, N, N) dense GSO array of `gso` (accepts raw arrays too)."""
+    """The (E, N, N) dense GSO array of `gso` (accepts raw arrays, Gso,
+    and shift-duck-typed objects exposing .S)."""
     if isinstance(gso, Gso):
         return gso.S
+    if not isinstance(gso, (jnp.ndarray, np.ndarray)) and hasattr(gso, "S"):
+        return jnp.asarray(gso.S)
     S = jnp.asarray(gso)
     return S[None] if S.ndim == 2 else S
 
@@ -124,7 +127,14 @@ def gshift(gso, x: jnp.ndarray) -> jnp.ndarray:
     x: (..., E, G, N) with E matching the GSO's edge features.
     This is the hot SpMM the whole framework lowers to
     (reference hot loop: graphML.py:158-161).
+
+    Accepts: a raw dense array, a Gso (dense or bcsr layout), or any
+    object exposing a ``shift(x)`` method (e.g. parallel.ShardedGso for
+    multi-chip node-sharded execution with halo exchange).
     """
+    if not isinstance(gso, (Gso, jnp.ndarray, np.ndarray)) \
+            and hasattr(gso, "shift"):
+        return gso.shift(x)
     if not isinstance(gso, Gso) or gso.mode == "dense":
         S = dense(gso)
         return jnp.einsum("...egn,enm->...egm", x, S)

@@ -17,3 +17,4 @@ from graph_neural_networks_tpu.parallel.partition import (  # noqa: F401
     partition_nodes, GraphPartition)
 from graph_neural_networks_tpu.parallel.shift import (  # noqa: F401
     sharded_gshift_allgather, sharded_gshift_ring, make_dp_train_step)
+from graph_neural_networks_tpu.parallel.sharded_gso import ShardedGso  # noqa: F401

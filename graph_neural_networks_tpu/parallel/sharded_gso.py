@@ -1,0 +1,64 @@
+"""ShardedGso: a drop-in GSO whose shifts run across the device mesh.
+
+Wraps a GraphPartition + mesh and exposes the same ``gshift`` contract as
+``ops.gso.Gso`` (duck-typed via a ``shift`` method), so every filter
+functional (``ops.filters.lsigf`` etc.) transparently executes node-
+sharded with halo exchange — the multi-chip path for graphs too large
+for one chip's HBM.
+
+Usage:
+    part = partition_nodes(S, n_graph_shards)
+    sgso = ShardedGso(mesh, part)
+    y = filters.lsigf(h, sgso, x_padded)   # x padded via part.pad_signal
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graph_neural_networks_tpu.parallel.partition import GraphPartition
+from graph_neural_networks_tpu.parallel.shift import (
+    sharded_gshift_allgather, sharded_gshift_ring)
+
+
+class ShardedGso:
+    """Node-sharded GSO over a ('data', 'graph') mesh.
+
+    The signal convention matches gshift: x (..., E, G, N_padded), node
+    axis last, already ordered/padded by ``partition.pad_signal``.
+    """
+
+    def __init__(self, mesh, partition: GraphPartition, axis: str = "graph",
+                 prefer_ring: bool = True):
+        self.mesh = mesh
+        self.partition = partition
+        self.axis = axis
+        self.uses_ring = prefer_ring and partition.is_ring
+        if self.uses_ring:
+            self._shift = sharded_gshift_ring(mesh, partition, axis)
+        else:
+            self._shift = sharded_gshift_allgather(mesh, partition, axis)
+
+    # the Gso duck-type surface used by ops.gso.gshift
+    @property
+    def n(self) -> int:
+        return self.partition.n_padded
+
+    @property
+    def n_edge_features(self) -> int:
+        return self.partition.S_perm.shape[0]
+
+    @property
+    def S(self):
+        import jax.numpy as jnp
+        return jnp.asarray(self.partition.S_perm, jnp.float32)
+
+    def shift(self, x):
+        """One sharded graph shift on (..., E, G, N_padded)."""
+        return self._shift(x)
+
+    def pad_signal(self, x: np.ndarray) -> np.ndarray:
+        return self.partition.pad_signal(x)
+
+    def unpad_signal(self, x: np.ndarray) -> np.ndarray:
+        return self.partition.unpad_signal(x)

@@ -103,6 +103,23 @@ def test_dp_train_step_matches_single(mesh):
     np.testing.assert_allclose(p1["w"], p2["w"], rtol=1e-5)
 
 
+def test_sharded_gso_lsigf_matches_dense(mesh, band_graph):
+    """The whole point: filters.lsigf with a ShardedGso == dense lsigf."""
+    from graph_neural_networks_tpu.ops import filters
+    part = par.partition_nodes(band_graph, 8)
+    sgso = par.ShardedGso(mesh, part)
+    assert sgso.uses_ring
+    h = RNG.random((4, 1, 3, 2)).astype(np.float32)   # F,E,K,G
+    x = RNG.random((2, 2, 64)).astype(np.float32)     # B,G,N
+    want = np.asarray(filters.lsigf(jnp.asarray(h),
+                                    gso_lib.as_gso(part.S_perm),
+                                    jnp.asarray(part.pad_signal(x))))
+    with mesh:
+        got = np.asarray(filters.lsigf(jnp.asarray(h), sgso,
+                                       jnp.asarray(part.pad_signal(x))))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_partition_general_graph_falls_back(mesh):
     W = gt.create_graph("SBM", 40, {"nCommunities": 2, "probIntra": 0.9,
                                     "probInter": 0.3},
