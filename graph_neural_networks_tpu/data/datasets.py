@@ -315,6 +315,33 @@ class MovieLens(Data):
         self.nodeList = node_list
         return A
 
+    def interpolateRatings(self):
+        """Nearest-neighbor interpolation of missing ratings: every zero in
+        a graph signal (except the held-out labelID node) is replaced by the
+        mean rating of its nearest rated neighbors on the similarity graph
+        (reference dataTools.py:2019-2109)."""
+        A = self.adjacencyMatrix
+        lid = self.labelID[0]
+        for t in ("train", "valid", "test"):
+            sig = self.samples[t]["signals"]
+            flat = sig if sig.ndim == 2 else sig[:, 0]
+            for s in range(flat.shape[0]):
+                row = flat[s]
+                missing = np.flatnonzero((row == 0))
+                for m in missing:
+                    if m == lid:
+                        continue
+                    nbrs = np.flatnonzero(A[m] > 0)
+                    rated = nbrs[row[nbrs] > 0]
+                    if len(rated):
+                        row[m] = row[rated].mean()
+            if sig.ndim == 3:
+                self.samples[t]["signals"][:, 0] = flat
+            else:
+                self.samples[t]["signals"] = flat
+
+    interpolate_ratings = interpolateRatings
+
     def getGraph(self):
         return self.adjacencyMatrix
 
@@ -502,6 +529,51 @@ class FacebookEgo:
 # ---------------------------------------------------------------------------
 # TwentyNews (legacy; reference dataTools.py:4006-4533)
 # ---------------------------------------------------------------------------
+
+def distance_sklearn_metrics(z: np.ndarray, k: int = 4,
+                             metric: str = "euclidean"):
+    """k-nearest-neighbor distances and indices between row vectors
+    (reference dataTools.py helper for the 20NEWS word graph)."""
+    from sklearn.metrics import pairwise_distances
+    d = pairwise_distances(z, metric=metric)
+    idx = np.argsort(d)[:, 1:k + 1]
+    d.sort()
+    return d[:, 1:k + 1], idx
+
+
+def knn_adjacency(dist: np.ndarray, idx: np.ndarray):
+    """Gaussian-kernel kNN adjacency from distance_sklearn_metrics output:
+    W_ij = exp(-d_ij^2 / sigma^2), symmetrized by max (reference
+    dataTools.py `adjacency`)."""
+    M, k = dist.shape
+    sigma2 = np.mean(dist[:, -1]) ** 2
+    w = np.exp(-dist ** 2 / sigma2)
+    W = np.zeros((M, M))
+    rows = np.repeat(np.arange(M), k)
+    W[rows, idx.ravel()] = w.ravel()
+    W = np.maximum(W, W.T)
+    np.fill_diagonal(W, 0)
+    return W
+
+
+def replace_random_edges(A: np.ndarray, noise_level: float, rng=None):
+    """Randomly rewire a fraction of edges (robustness experiments;
+    reference dataTools.py `replace_random_edges`)."""
+    rng = np.random.default_rng() if rng is None else rng
+    A = A.copy()
+    M = A.shape[0]
+    n_replace = int(noise_level * (np.count_nonzero(np.triu(A))))
+    for _ in range(n_replace):
+        ii = np.transpose(np.nonzero(np.triu(A)))
+        if not len(ii):
+            break
+        kill = ii[rng.integers(len(ii))]
+        A[kill[0], kill[1]] = A[kill[1], kill[0]] = 0
+        i, j = rng.integers(M, size=2)
+        if i != j:
+            A[i, j] = A[j, i] = 1.0
+    return A
+
 
 class TwentyNews(DataForClassification):
     """20NEWS word-graph classification. The reference embeds words with a

@@ -196,7 +196,7 @@ class Trainer:
         model.save(label="Last")
         if best_score is not None:
             model.load(label="Best")  # reference reloads Best at end (:571)
-        return {
+        train_vars = {
             "nEpochs": self.nEpochs, "nBatches": n_batches,
             "batchSize": self.batchSize, "lossTrain": np.array(loss_train),
             "costValid": np.array(cost_valid),
@@ -204,6 +204,14 @@ class Trainer:
             "bestScore": best_score, "bestEpoch": best_epoch,
             "bestBatch": best_batch,
         }
+        if self.doSaveVars:
+            import os
+            import pickle
+            d = os.path.join(model.saveDir, "trainVars")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{model.name}.pkl"), "wb") as f:
+                pickle.dump(train_vars, f)
+        return train_vars
 
     # hooks for subclasses
     def _on_epoch_start(self, epoch):

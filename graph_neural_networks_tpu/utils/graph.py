@@ -45,8 +45,51 @@ __all__ = [
     "perm_spectral_proxies", "perm_eds", "permutation_by_name",
     "edge_fail_sampling", "Graph", "spline_basis", "coarsen",
     "compute_coarsening_perm", "pad_coarsened_data",
-    "nv_copy_nodes", "ev_sparsity_pattern",
+    "nv_copy_nodes", "ev_sparsity_pattern", "plot_graph", "print_graph",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Rendering (reference graphTools.py:52-201)
+# ---------------------------------------------------------------------------
+
+def plot_graph(A, pos=None, fig_size=5, node_size=100, save_to=None):
+    """Render a graph with matplotlib: spring-ish layout from the graph
+    spectrum (positions = 2nd/3rd Laplacian eigenvectors) unless `pos`
+    given. Returns the figure (and saves a PNG when save_to is set)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    A = np.asarray(A)
+    N = A.shape[0]
+    if pos is None:
+        L = adjacency_to_laplacian((np.abs(A) + np.abs(A.T)) / 2)
+        _, V = np.linalg.eigh(L)
+        pos = V[:, 1:3]
+    fig, ax = plt.subplots(figsize=(fig_size, fig_size))
+    ii, jj = np.nonzero(np.triu(np.abs(A) + np.abs(A.T)))
+    for i, j in zip(ii, jj):
+        ax.plot([pos[i, 0], pos[j, 0]], [pos[i, 1], pos[j, 1]],
+                color="0.7", lw=0.5, zorder=1)
+    ax.scatter(pos[:, 0], pos[:, 1], s=node_size, zorder=2)
+    ax.set_axis_off()
+    if save_to:
+        fig.savefig(save_to, bbox_inches="tight")
+    return fig
+
+
+def print_graph(A, save_to=None):
+    """Render the adjacency matrix as an image (spy plot)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(4, 4))
+    ax.imshow(np.abs(np.asarray(A)) > ZERO_TOL, cmap="Greys",
+              interpolation="nearest")
+    ax.set_xlabel("node"), ax.set_ylabel("node")
+    if save_to:
+        fig.savefig(save_to, bbox_inches="tight")
+    return fig
 
 
 # ---------------------------------------------------------------------------

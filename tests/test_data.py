@@ -99,6 +99,42 @@ def test_twentynews_synthetic():
     assert len(np.unique(y)) == 5
 
 
+def test_movielens_interpolate():
+    data = D.MovieLens("movie", 25, 0.8, 0.1, kNN=8,
+                       rng=np.random.default_rng(7))
+    x0, _ = data.getSamples("train")
+    n_zero_before = (x0 == 0).sum()
+    data.interpolateRatings()
+    x1, _ = data.getSamples("train")
+    lid = data.labelID[0]
+    assert np.all(x1[:, lid] == 0)         # held-out node stays zero
+    assert (x1 == 0).sum() < n_zero_before  # some ratings filled in
+
+
+def test_word_graph_helpers():
+    from graph_neural_networks_tpu.data.datasets import (
+        distance_sklearn_metrics, knn_adjacency, replace_random_edges)
+    z = np.random.default_rng(8).random((30, 5))
+    d, idx = distance_sklearn_metrics(z, k=4)
+    assert d.shape == (30, 4) and idx.shape == (30, 4)
+    W = knn_adjacency(d, idx)
+    assert np.allclose(W, W.T) and np.allclose(np.diag(W), 0)
+    W2 = replace_random_edges(W, 0.2, rng=np.random.default_rng(9))
+    assert W2.shape == W.shape
+
+
+def test_plot_helpers(tmp_path):
+    W = gt.create_graph("SBM", 15, {"nCommunities": 3, "probIntra": 0.8,
+                                    "probInter": 0.2},
+                        rng=np.random.default_rng(10))
+    p1 = str(tmp_path / "g.png")
+    p2 = str(tmp_path / "spy.png")
+    gt.plot_graph(W, save_to=p1)
+    gt.print_graph(W, save_to=p2)
+    import os
+    assert os.path.exists(p1) and os.path.exists(p2)
+
+
 # --- Flocking --------------------------------------------------------------
 
 @pytest.fixture(scope="module")
