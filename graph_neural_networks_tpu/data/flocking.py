@@ -246,11 +246,17 @@ class Flocking(Data):
 
     # -- closed-loop rollout (reference dataTools.py:3166-3340) -------------
     def compute_trajectory(self, initPos, initVel, duration, archit=None,
-                           accel=None, params=None, rng=None, doPrint=None):
+                           accel=None, params=None, rng=None, doPrint=None,
+                           history_window=None):
         """Roll the swarm forward. Either apply a given open-loop `accel`
         sequence, or run `archit` (params, x_hist, S_hist) -> accel closed
         loop: at each step the model sees the (zero-padded) history and its
-        output at the current step drives the physics."""
+        output at the current step drives the physics.
+
+        history_window: for causal finite-memory controllers (K-tap
+        delayed filters, aggregation GNNs) pass their memory depth — the
+        rollout then feeds only the last `window` steps each call
+        (identical outputs by causality, O(T*K) instead of O(T^2))."""
         assert archit is not None or accel is not None
         initPos = np.asarray(initPos, np.float64)
         initVel = np.asarray(initVel, np.float64)
@@ -278,6 +284,33 @@ class Flocking(Data):
         state_hist[:, 0] = self.compute_states(pos[:, :1], vel[:, :1],
                                                graph_hist[:, :1])[:, 0]
         for t in range(1, T):
+            if history_window is not None:
+                # causal finite-memory: only the last `window` steps matter
+                w = int(history_window)
+                lo = max(t - w, 0)
+                xw = state_hist[:, lo:t]
+                Sw = graph_hist[:, lo:t]
+                if xw.shape[1] < w:  # left-pad to a fixed window size (one
+                    pad = w - xw.shape[1]  # compiled shape for the whole roll)
+                    xw = np.concatenate(
+                        [np.zeros_like(xw[:, :1]).repeat(pad, 1), xw], 1)
+                    Sw = np.concatenate(
+                        [np.zeros_like(Sw[:, :1]).repeat(pad, 1), Sw], 1)
+                y = np.asarray(archit(params, xw, Sw))
+                accel_out[:, t - 1] = np.clip(y[:, -1], -self.accelMax,
+                                              self.accelMax)
+                vel[:, t] = (accel_out[:, t - 1] * self.samplingTime
+                             + vel[:, t - 1])
+                pos[:, t] = (accel_out[:, t - 1] * self.samplingTime ** 2 / 2
+                             + vel[:, t - 1] * self.samplingTime
+                             + pos[:, t - 1])
+                gt_ = self.compute_communication_graph(
+                    pos[:, t], self.commRadius, True)
+                graph_hist[:, t] = gt_
+                state_hist[:, t] = self.compute_states(
+                    pos[:, t:t + 1], vel[:, t:t + 1],
+                    graph_hist[:, t:t + 1])[:, 0]
+                continue
             # model acts on the padded full-horizon history; causal filters
             # ignore the zero future
             y = archit(params, state_hist, graph_hist)

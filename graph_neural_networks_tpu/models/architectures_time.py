@@ -89,6 +89,9 @@ class LocalGNN_DB(_TimeArchBase):
             sigma=resolve_activation(nonlinearity),
             readout_dims=_as_tuple(dimReadout), use_bias=bias,
             edge_features=dimEdgeFeatures)
+        # finite causal memory: the last output depends on at most
+        # sum(K_l - 1) + 1 past steps (chained delayed taps)
+        self.causal_window = sum(k - 1 for k in nFilterTaps) + 1
         self._jit_apply = jax.jit(self.core.apply)
 
     def init(self, key, N: int = 8, T: int = 3):
@@ -238,6 +241,7 @@ class AggregationGNN_DB(_TimeArchBase):
             sigma=resolve_activation(nonlinearity),
             readout_dims=_as_tuple(dimReadout), use_bias=bias,
             edge_features=dimEdgeFeatures, n_exchanges=nExchanges)
+        self.causal_window = nExchanges + 1
         self._jit_apply = jax.jit(self.core.apply)
 
     def init(self, key, N: int = 8, T: int = 3):

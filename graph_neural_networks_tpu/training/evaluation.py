@@ -64,7 +64,8 @@ def evaluate_flocking(model, data, nVideos: int = 0, **kwargs):
                 m.params, jnp.asarray(x_hist, jnp.float32),
                 jnp.asarray(S5, jnp.float32)))
         pos, vel, _, _, _ = data.compute_trajectory(
-            init_pos, init_vel, data.duration, archit=policy, params=None)
+            init_pos, init_vel, data.duration, archit=policy, params=None,
+            history_window=getattr(m.archit, "causal_window", None))
         full = float(data.evaluate(vel=vel))
         end = float(data.evaluate(vel=vel[:, -1:]))
         return {"full": full, "end": end, "pos": pos}

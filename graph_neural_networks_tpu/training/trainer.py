@@ -374,7 +374,8 @@ class TrainerFlocking(Trainer):
         data = self.data
         pos, vel, _, states, graphs = data.compute_trajectory(
             init_pos, init_vel, data.duration, archit=self._policy(),
-            params=None)
+            params=None,
+            history_window=getattr(self.model.archit, "causal_window", None))
         y = self._expert_accel(pos, vel)
         return states, y, graphs
 
@@ -414,5 +415,6 @@ class TrainerFlocking(Trainer):
         init_vel = data.getData("initVel", "valid")
         _, vel, _, _, _ = data.compute_trajectory(
             init_pos, init_vel, data.duration, archit=self._policy(),
-            params=None)
+            params=None,
+            history_window=getattr(self.model.archit, "causal_window", None))
         return float(data.evaluate(vel=vel))

@@ -176,6 +176,31 @@ def test_flocking_evaluate_matches_manual(flock):
     assert np.isclose(cost, manual)
 
 
+def test_flocking_windowed_rollout_matches_full(flock):
+    """Causal-window rollout (O(T*K)) must equal the full-history rollout
+    for a finite-memory controller."""
+    import jax
+    import jax.numpy as jnp
+    from graph_neural_networks_tpu.models import architectures_time as archt
+    arch = archt.LocalGNN_DB([6, 4], [3], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=12, T=5)
+    init_pos = flock.getData("initPos", "test")
+    init_vel = flock.getData("initVel", "test")
+
+    def policy(_p, x_hist, S_hist):
+        return np.asarray(arch.apply(params, jnp.asarray(x_hist, jnp.float32),
+                                     jnp.asarray(S_hist[:, :, None],
+                                                 jnp.float32)))
+
+    pos_full, vel_full, acc_full, _, _ = flock.compute_trajectory(
+        init_pos, init_vel, flock.duration, archit=policy)
+    pos_win, vel_win, acc_win, _, _ = flock.compute_trajectory(
+        init_pos, init_vel, flock.duration, archit=policy,
+        history_window=arch.causal_window)
+    np.testing.assert_allclose(acc_win, acc_full, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(pos_win, pos_full, atol=1e-4, rtol=1e-4)
+
+
 def test_flocking_closed_loop_with_dummy_controller(flock):
     init_pos = flock.getData("initPos", "test")
     init_vel = flock.getData("initVel", "test")
