@@ -372,7 +372,8 @@ def gated_grnn(a: jnp.ndarray, b_taps: jnp.ndarray, gso, x: jnp.ndarray,
         Ax = _lsigf_batched_gso(a, Sb, x.reshape(B * T, F, N),
                                 b=xb).reshape(B, T, H, N)
 
-    # --- hidden-to-hidden recurrence
+    # --- hidden-to-hidden recurrence (lax.scan over t; the gate for step t
+    # rides along as a scanned input so long sequences compile once)
     def step(z_prev, inp):
         Ax_t, qc_t = inp
         if not edge_check:
@@ -385,23 +386,10 @@ def gated_grnn(a: jnp.ndarray, b_taps: jnp.ndarray, gso, x: jnp.ndarray,
         z_new = sigma(Ax_t + Bz)
         return z_new, z_new
 
+    ax_xs = jnp.moveaxis(Ax, 1, 0)                         # T x B x H x N
     if q_check is None:
-        qc_xs = [None] * T
+        _, z_seq = jax.lax.scan(lambda c, ax: step(c, (ax, None)), z0, ax_xs)
     else:
-        qc_xs = [q_check[:, t] for t in range(T)]
-    # T is small & static in the reference tasks; scan via python unroll keeps
-    # heterogeneous (None) gate handling simple while XLA still sees one
-    # fused program. For long T with gates, switch to lax.scan.
-    if q_check is None and not edge_check:
-        xs = jnp.moveaxis(Ax, 1, 0)
-        _, z_seq = jax.lax.scan(
-            lambda c, ax: step(c, (ax, None)), z0, xs)
-        z = jnp.moveaxis(z_seq, 0, 1)
-    else:
-        z_prev = z0
-        outs = []
-        for t in range(T):
-            z_prev, _ = step(z_prev, (Ax[:, t], qc_xs[t]))
-            outs.append(z_prev)
-        z = jnp.stack(outs, axis=1)
-    return z
+        qc_xs = jnp.moveaxis(q_check, 1, 0)                # T x B x 1 x ...
+        _, z_seq = jax.lax.scan(step, z0, (ax_xs, qc_xs))
+    return jnp.moveaxis(z_seq, 0, 1)
