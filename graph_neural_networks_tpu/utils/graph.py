@@ -59,6 +59,9 @@ def plot_graph(A, pos=None, fig_size=5, node_size=100, save_to=None):
     given. Returns the figure (and saves a PNG when save_to is set)."""
     import matplotlib
     matplotlib.use("Agg")
+    # the reference's graphTools import turns usetex on globally
+    # (graphTools.py:41); undo it — no LaTeX in headless environments
+    matplotlib.rcParams["text.usetex"] = False
     import matplotlib.pyplot as plt
     A = np.asarray(A)
     N = A.shape[0]
@@ -82,6 +85,7 @@ def print_graph(A, save_to=None):
     """Render the adjacency matrix as an image (spy plot)."""
     import matplotlib
     matplotlib.use("Agg")
+    matplotlib.rcParams["text.usetex"] = False
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(figsize=(4, 4))
     ax.imshow(np.abs(np.asarray(A)) > ZERO_TOL, cmap="Greys",
