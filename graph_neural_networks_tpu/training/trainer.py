@@ -370,13 +370,32 @@ class TrainerFlocking(Trainer):
                  + 2 * np.sum(diff_pos * (inv ** 2 + inv), axis=-1))
         return np.clip(accel, -data.accelMax, data.accelMax)
 
-    def _rollout_policy(self, init_pos, init_vel):
+    def _rollout_policy(self, init_pos, init_vel, chunk: int = 16):
+        """Closed-loop rollouts in fixed-size chunks (last chunk padded by
+        repetition) so the jitted forward never sees a new batch size —
+        varying DAGger sample counts would otherwise recompile every
+        epoch."""
         data = self.data
-        pos, vel, _, states, graphs = data.compute_trajectory(
-            init_pos, init_vel, data.duration, archit=self._policy(),
-            params=None,
-            history_window=getattr(self.model.archit, "causal_window", None))
-        y = self._expert_accel(pos, vel)
+        n = init_pos.shape[0]
+        window = getattr(self.model.archit, "causal_window", None)
+        policy = self._policy()
+        outs = []
+        for lo in range(0, n, chunk):
+            ip = init_pos[lo:lo + chunk]
+            iv = init_vel[lo:lo + chunk]
+            pad = chunk - ip.shape[0]
+            if pad and n > chunk:  # keep a single compiled shape
+                ip = np.concatenate([ip, ip[:1].repeat(pad, 0)], 0)
+                iv = np.concatenate([iv, iv[:1].repeat(pad, 0)], 0)
+            pos, vel, _, states, graphs = data.compute_trajectory(
+                ip, iv, data.duration, archit=policy, params=None,
+                history_window=window)
+            y = self._expert_accel(pos, vel)
+            keep = chunk - pad if pad and n > chunk else ip.shape[0]
+            outs.append((states[:keep], y[:keep], graphs[:keep]))
+        states = np.concatenate([o[0] for o in outs], 0)
+        y = np.concatenate([o[1] for o in outs], 0)
+        graphs = np.concatenate([o[2] for o in outs], 0)
         return states, y, graphs
 
     # -- DAGger variants ---------------------------------------------------
