@@ -1,0 +1,93 @@
+"""Permutation-equivariance property tests: relabeling nodes commutes with
+filtering — the mathematical foundation of the GSP framework (and of the
+changeGSO transferability contract)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graph_neural_networks_tpu.ops import filters, gso as gso_lib
+from graph_neural_networks_tpu.utils import graph as gt
+
+RNG = np.random.default_rng(31)
+B, G, F, E, K, N = 2, 2, 3, 1, 3, 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    W = gt.create_graph("SBM", N, {"nCommunities": 2, "probIntra": 0.7,
+                                   "probInter": 0.2},
+                        rng=np.random.default_rng(2))
+    S = (W / np.max(np.abs(np.linalg.eigvalsh(W))))[None]
+    x = RNG.standard_normal((B, G, N))
+    perm = np.random.default_rng(3).permutation(N)
+    S_p = S[:, perm][:, :, perm]
+    x_p = x[:, :, perm]
+    return S, x, S_p, x_p, perm
+
+
+def test_lsigf_equivariant(setup):
+    S, x, S_p, x_p, perm = setup
+    h = RNG.standard_normal((F, E, K, G))
+    y = np.asarray(filters.lsigf(jnp.asarray(h, jnp.float32),
+                                 gso_lib.as_gso(S),
+                                 jnp.asarray(x, jnp.float32)))
+    y_p = np.asarray(filters.lsigf(jnp.asarray(h, jnp.float32),
+                                   gso_lib.as_gso(S_p),
+                                   jnp.asarray(x_p, jnp.float32)))
+    np.testing.assert_allclose(y_p, y[:, :, perm], atol=1e-5, rtol=1e-4)
+
+
+def test_graph_attention_equivariant(setup):
+    S, x, S_p, x_p, perm = setup
+    P = 2
+    a = RNG.standard_normal((P, E, 2 * F)) * 0.5
+    W = RNG.standard_normal((P, E, F, G)) * 0.5
+    j = lambda v: jnp.asarray(v, jnp.float32)
+    y = np.asarray(filters.graph_attention(j(x), j(a), j(W),
+                                           gso_lib.as_gso(S)))
+    y_p = np.asarray(filters.graph_attention(j(x_p), j(a), j(W),
+                                             gso_lib.as_gso(S_p)))
+    np.testing.assert_allclose(y_p, y[..., perm], atol=1e-4, rtol=1e-3)
+
+
+def test_jarma_equivariant(setup):
+    S, x, S_p, x_p, perm = setup
+    P = 2
+    psi = RNG.standard_normal((F, E, P, G)) * 0.3
+    varphi = RNG.standard_normal((F, E, P, G))
+    phi = RNG.standard_normal((F, E, K, G))
+    j = lambda v: jnp.asarray(v, jnp.float32)
+    y = np.asarray(filters.jarma(j(psi), j(varphi), j(phi),
+                                 gso_lib.as_gso(S), j(x), t_max=3))
+    y_p = np.asarray(filters.jarma(j(psi), j(varphi), j(phi),
+                                   gso_lib.as_gso(S_p), j(x_p), t_max=3))
+    np.testing.assert_allclose(y_p, y[..., perm], atol=1e-3, rtol=1e-2)
+
+
+def test_gated_grnn_equivariant(setup):
+    S, x, S_p, x_p, perm = setup
+    H, T = 3, 4
+    a = RNG.standard_normal((H, E, K, G)) * 0.3
+    bt = RNG.standard_normal((H, E, K, H)) * 0.3
+    xt = RNG.standard_normal((B, T, G, N))
+    z0 = RNG.standard_normal((B, H, N))
+    j = lambda v: jnp.asarray(v, jnp.float32)
+    y = np.asarray(filters.gated_grnn(j(a), j(bt), gso_lib.as_gso(S), j(xt),
+                                      j(z0), jnp.tanh))
+    y_p = np.asarray(filters.gated_grnn(j(a), j(bt), gso_lib.as_gso(S_p),
+                                        j(xt[..., perm]), j(z0[..., perm]),
+                                        jnp.tanh))
+    np.testing.assert_allclose(y_p, y[..., perm], atol=1e-4, rtol=1e-3)
+
+
+def test_node_variant_not_equivariant_but_consistent(setup):
+    """NVGF is deliberately NOT permutation-equivariant (per-node taps);
+    permuting taps along with everything else IS consistent."""
+    S, x, S_p, x_p, perm = setup
+    h = RNG.standard_normal((F, E, K, G, N))
+    j = lambda v: jnp.asarray(v, jnp.float32)
+    y = np.asarray(filters.nvgf(j(h), gso_lib.as_gso(S), j(x)))
+    y_p = np.asarray(filters.nvgf(j(h[..., perm]), gso_lib.as_gso(S_p),
+                                  j(x_p)))
+    np.testing.assert_allclose(y_p, y[..., perm], atol=1e-5, rtol=1e-4)
