@@ -15,7 +15,7 @@ Prints one JSON line per device count.
 
 import argparse
 import json
-import sys
+
 import time
 
 import numpy as np

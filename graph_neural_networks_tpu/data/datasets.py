@@ -16,7 +16,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from graph_neural_networks_tpu.data.base import (
-    Data, DataForClassification, ZERO_TOL, invert_tensor_ew)
+    Data, DataForClassification, ZERO_TOL)
 from graph_neural_networks_tpu.utils import graph as gt
 
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
-import numpy as np
 
 from graph_neural_networks_tpu.parallel.mesh import make_mesh
 
