@@ -383,15 +383,15 @@ class TrainerFlocking(Trainer):
         for lo in range(0, n, chunk):
             ip = init_pos[lo:lo + chunk]
             iv = init_vel[lo:lo + chunk]
-            pad = chunk - ip.shape[0]
-            if pad and n > chunk:  # keep a single compiled shape
+            keep = ip.shape[0]
+            pad = chunk - keep
+            if pad:  # always pad to the chunk size: one compiled shape
                 ip = np.concatenate([ip, ip[:1].repeat(pad, 0)], 0)
                 iv = np.concatenate([iv, iv[:1].repeat(pad, 0)], 0)
             pos, vel, _, states, graphs = data.compute_trajectory(
                 ip, iv, data.duration, archit=policy, params=None,
                 history_window=window)
             y = self._expert_accel(pos, vel)
-            keep = chunk - pad if pad and n > chunk else ip.shape[0]
             outs.append((states[:keep], y[:keep], graphs[:keep]))
         states = np.concatenate([o[0] for o in outs], 0)
         y = np.concatenate([o[1] for o in outs], 0)
