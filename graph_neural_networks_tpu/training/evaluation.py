@@ -24,7 +24,18 @@ def _with_checkpoints(model, fn):
     return out
 
 
-def evaluate(model, data, **kwargs):
+def _maybe_save(model, eval_vars, do_save):
+    if not do_save:
+        return
+    import os
+    import pickle
+    d = os.path.join(model.saveDir, "evalVars")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{model.name}.pkl"), "wb") as f:
+        pickle.dump(eval_vars, f)
+
+
+def evaluate(model, data, doSaveVars: bool = False, **kwargs):
     """costBest/costLast: data.evaluate on archit(xTest)."""
     xTest, yTest = data.getSamples("test")
 
@@ -32,7 +43,9 @@ def evaluate(model, data, **kwargs):
         yHat = m.archit.apply(m.params, jnp.asarray(xTest, jnp.float32))
         return float(data.evaluate(np.asarray(yHat), yTest))
     out = _with_checkpoints(model, run)
-    return {"costBest": out.get("Best"), "costLast": out.get("Last")}
+    result = {"costBest": out.get("Best"), "costLast": out.get("Last")}
+    _maybe_save(model, result, doSaveVars)
+    return result
 
 
 def evaluate_single_node(model, data, **kwargs):
