@@ -58,30 +58,34 @@ def main():
     s_band, w = spmm.dense_to_band(S, 128)
     sb = jnp.asarray(s_band)
 
+    # repeat the shift on-device (fori_loop: one compiled kernel, many
+    # iterations) so host dispatch latency (~1.5 ms through this
+    # container's TPU tunnel) doesn't mask the device time
+    REPEAT = 20
+
     @jax.jit
     def dense_lsigf(x):
-        z = x
-        for _ in range(K - 1):
-            # f32 MXU precision to match the sparse path (and the
-            # reference's fp32/fp64 semantics)
-            z = jnp.dot(z, Sd, precision=jax.lax.Precision.HIGHEST)
-        return z
+        # f32 MXU precision to match the sparse path (and the reference's
+        # fp32/fp64 semantics)
+        return jax.lax.fori_loop(
+            0, REPEAT * (K - 1),
+            lambda i, z: jnp.dot(z, Sd,
+                                 precision=jax.lax.Precision.HIGHEST), x)
 
     @jax.jit
     def band_lsigf(x):
-        z = x
-        for _ in range(K - 1):
-            z = spmm.band_matmul(z, sb, n_cols=N, w=w)
-        return z
+        return jax.lax.fori_loop(
+            0, REPEAT * (K - 1),
+            lambda i, z: spmm.band_matmul(z, sb, n_cols=N, w=w), x)
 
-    # numerical sanity before timing
-    d = np.asarray(dense_lsigf(x))
-    b = np.asarray(band_lsigf(x))
+    # numerical sanity before timing (single chain)
+    d = np.asarray(jnp.dot(x, Sd, precision=jax.lax.Precision.HIGHEST))
+    b = np.asarray(spmm.band_matmul(x, sb, n_cols=N, w=w))
     err = np.abs(d - b).max() / (np.abs(d).max() + 1e-9)
     assert err < 1e-3, f"band mismatch: rel err {err}"
 
-    t_dense = _bench(lambda: dense_lsigf(x))
-    t_band = _bench(lambda: band_lsigf(x))
+    t_dense = _bench(lambda: dense_lsigf(x)) / REPEAT
+    t_band = _bench(lambda: band_lsigf(x)) / REPEAT
 
     edges_per_s = R * (K - 1) * nnz / t_band
     speedup = t_dense / t_band

@@ -231,7 +231,10 @@ def band_matmul(x: jnp.ndarray, s_band: jnp.ndarray, *, n_cols: int, w: int,
     nb = _cdiv(n_cols, bs)
     Np = nb * bs
     Rp = _cdiv(max(R, 8), row_tile) * row_tile
-    xp = jnp.zeros((Rp, Np), x.dtype).at[:R, :N].set(x)
+    if (Rp, Np) == (R, N):
+        xp = x  # aligned: no pad copy between chained shifts
+    else:
+        xp = jnp.zeros((Rp, Np), x.dtype).at[:R, :N].set(x)
 
     def make_index_map(k):
         def index_map(i, j):
