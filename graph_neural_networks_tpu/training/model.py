@@ -83,22 +83,29 @@ class Model:
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{self.name}{label}.ckpt")
 
-    def save(self, label: str = "") -> str:
+    def save(self, label: str = "", extra: Optional[dict] = None) -> str:
+        """Checkpoint params + optimizer state (+ optional training-loop
+        state: step counters, PRNG keys, best-score bookkeeping — the
+        mid-run resume contract, SURVEY.md §5)."""
         path = self._ckpt_path(label)
         blob = {
             "params": serialization.to_bytes(self.params),
             "opt_state": serialization.to_bytes(self.opt_state),
+            "extra": extra,
         }
         with open(path, "wb") as f:
             pickle.dump(blob, f)
         return path
 
-    def load(self, label: str = "") -> None:
+    def load(self, label: str = "") -> Optional[dict]:
+        """Restore params/opt state; returns the saved training-loop state
+        (or None)."""
         with open(self._ckpt_path(label), "rb") as f:
             blob = pickle.load(f)
         self.params = serialization.from_bytes(self.params, blob["params"])
         self.opt_state = serialization.from_bytes(self.opt_state,
                                                   blob["opt_state"])
+        return blob.get("extra")
 
     def __repr__(self):
         return (f"Model(name={self.name!r}, "

@@ -70,6 +70,7 @@ class Trainer:
         self.doSaveVars = kwargs.get("doSaveVars", False)
         self.metricsFile = kwargs.get("metricsFile")
         self.logger = kwargs.get("logger")  # utils.visual.Visualizer
+        self.resume = kwargs.get("resume", False)
         self.rng = np.random.default_rng(kwargs.get("seed", 0))
         self._key = jax.random.PRNGKey(kwargs.get("seed", 0))
         # stochastic forwards (GRNN z0 ~ N(0,1) per call) get a fresh key
@@ -155,6 +156,23 @@ class Trainer:
         best_epoch = best_batch = 0
         lag = 0
         epoch = 0
+        if self.resume:
+            # pick up where 'Last' left off: epoch counter, RNG states,
+            # best-score bookkeeping (SURVEY.md §5 resume contract)
+            try:
+                state = model.load("Last")
+            except FileNotFoundError:
+                state = None
+            if state:
+                epoch = state["next_epoch"]
+                best_score = state["best_score"]
+                best_epoch = state["best_epoch"]
+                best_batch = state["best_batch"]
+                lag = state["lag"]
+                self.rng.bit_generator.state = state["np_rng"]
+                self._key = jnp.asarray(state["key"])
+                loss_train = list(state["loss_train"])
+                cost_valid = list(state["cost_valid"])
         while epoch < self.nEpochs and (lag < self.earlyStoppingLag
                                         or not self.doEarlyStopping):
             perm = self.rng.permutation(n_train)
@@ -193,7 +211,19 @@ class Trainer:
                 batch += 1
             epoch += 1
 
-        model.save(label="Last")
+            def _loop_state():
+                return {
+                    "next_epoch": epoch, "best_score": best_score,
+                    "best_epoch": best_epoch, "best_batch": best_batch,
+                    "lag": lag, "np_rng": self.rng.bit_generator.state,
+                    "key": np.asarray(self._key),
+                    "loss_train": loss_train, "cost_valid": cost_valid,
+                }
+            # per-epoch resumable checkpoint (params + opt + loop state)
+            model.save(label="Last", extra=_loop_state())
+
+        model.save(label="Last",
+                   extra=_loop_state() if epoch > 0 else None)
         if best_score is not None:
             model.load(label="Best")  # reference reloads Best at end (:571)
         train_vars = {

@@ -65,6 +65,35 @@ def test_trainer_source_localization(G, tmp_path):
     assert res["costBest"] < 0.67
 
 
+def test_trainer_resume(G, tmp_path):
+    """Interrupt-and-resume: 4+4 resumed epochs reproduce the exact loss
+    trajectory of an uninterrupted 8-epoch run (params, opt state, RNG
+    streams all restored)."""
+    import jax
+    S = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
+    srcs = gt.compute_source_nodes(G.A, 3)
+    data = D.SourceLocalization(G, 60, 12, 12, srcs, tMax=3,
+                                rng=np.random.default_rng(7))
+    data.expandDims()
+
+    def make_model(d):
+        arch = archs.SelectionGNN([1, 4], [3], True, "relu", [24], "NoPool",
+                                  [1], [3], S)
+        return T.Model(arch, T.losses.cross_entropy_loss,
+                       {"name": "ADAM", "lr": 5e-3}, T.Trainer, T.evaluate,
+                       name="resume", saveDir=str(d), seed=0)
+
+    m_full = make_model(tmp_path / "full")
+    full = m_full.train(data, nEpochs=8, batchSize=20, validationInterval=3)
+
+    m_part = make_model(tmp_path / "part")
+    m_part.train(data, nEpochs=4, batchSize=20, validationInterval=3)
+    out = m_part.train(data, nEpochs=8, batchSize=20, validationInterval=3,
+                       resume=True)
+    np.testing.assert_allclose(out["lossTrain"], full["lossTrain"],
+                               rtol=1e-5)
+
+
 def test_trainer_lr_decay_and_early_stopping(G, tmp_path):
     S = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
     srcs = gt.compute_source_nodes(G.A, 3)
