@@ -157,6 +157,118 @@ def dense_matmul_reference(x: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Fused K-tap band shift register
+# ---------------------------------------------------------------------------
+# Computes the whole LSIGF shift register [x, xS, xS^2, ..., xS^{K-1}] in ONE
+# kernel: the running signal stays in VMEM between shifts (no z HBM round
+# trips), the band slab streams through a double-buffered DMA pipeline, and
+# each tap's result is DMA'd out asynchronously. This removes the K-1
+# kernel-launch + HBM-bounce overheads of chaining band_matmul.
+
+def _make_fused_kernel(K: int, w: int, bs: int, nb: int, rt: int,
+                       precision):
+    W = 2 * w + 1
+    Np = nb * bs
+    wbs = w * bs
+
+    def kernel(s_hbm, x_hbm, o_hbm, zbuf, sbuf, s_sem, io_sem):
+        i = pl.program_id(0)
+
+        def dma_s(slot, j):
+            return pltpu.make_async_copy(s_hbm.at[j], sbuf.at[slot],
+                                         s_sem.at[slot])
+
+        # bring in this row tile of x -> zbuf[0] center; zero the halo pads
+        zbuf[0, :, :] = jnp.zeros_like(zbuf[0])
+        zbuf[1, :, :] = jnp.zeros_like(zbuf[1])
+        cp_in = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * rt, rt), :],
+            zbuf.at[0, :, pl.ds(wbs, Np)], io_sem.at[0])
+        cp_in.start()
+        cp_in.wait()
+        # tap 0 output = x itself
+        cp0 = pltpu.make_async_copy(
+            zbuf.at[0, :, pl.ds(wbs, Np)],
+            o_hbm.at[0, pl.ds(i * rt, rt), :], io_sem.at[0])
+        cp0.start()
+        cp0.wait()
+
+        for k in range(1, K):
+            cur, nxt = (k - 1) % 2, k % 2
+            dma_s(0, 0).start()
+
+            def col(j, _):
+                slot = j % 2
+
+                @pl.when(j + 1 < nb)
+                def _():
+                    dma_s((j + 1) % 2, j + 1).start()
+                dma_s(slot, j).wait()
+                acc = jnp.dot(
+                    zbuf[cur, :, pl.ds(j * bs, bs)], sbuf[slot, :bs, :],
+                    preferred_element_type=jnp.float32, precision=precision)
+                for kk in range(1, W):
+                    acc += jnp.dot(
+                        zbuf[cur, :, pl.ds((j + kk) * bs, bs)],
+                        sbuf[slot, kk * bs:(kk + 1) * bs, :],
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+                zbuf[nxt, :, pl.ds(wbs + j * bs, bs)] = acc
+                return 0
+
+            jax.lax.fori_loop(0, nb, col, 0)
+            cp_out = pltpu.make_async_copy(
+                zbuf.at[nxt, :, pl.ds(wbs, Np)],
+                o_hbm.at[k, pl.ds(i * rt, rt), :], io_sem.at[1])
+            cp_out.start()
+            cp_out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "w", "n_taps",
+                                             "block_size", "row_tile",
+                                             "interpret", "precision"))
+def band_shift_register(x: jnp.ndarray, s_band: jnp.ndarray, *, n_taps: int,
+                        n_cols: int, w: int, block_size: int = 128,
+                        row_tile: int = 256, interpret: bool = False,
+                        precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """All K taps in one kernel: returns (K, R, N) = [x, xS, ..., xS^{K-1}].
+
+    x: (R, N); s_band as dense_to_band. Requires n_taps >= 1.
+    """
+    R, N = x.shape
+    bs = block_size
+    nb = _cdiv(n_cols, bs)
+    Np = nb * bs
+    rt = row_tile
+    Rp = _cdiv(max(R, 8), rt) * rt
+    xp = x if (Rp, Np) == (R, N) else \
+        jnp.zeros((Rp, Np), x.dtype).at[:R, :N].set(x)
+    W = 2 * w + 1
+
+    out = pl.pallas_call(
+        _make_fused_kernel(n_taps, w, bs, nb, rt, precision),
+        grid=(Rp // rt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_taps, Rp, Np), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, rt, Np + 2 * w * bs), jnp.float32),
+            pltpu.VMEM((2, W * bs, bs), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(s_band, xp)
+    return out[:, :R, :n_cols]
+
+
+# ---------------------------------------------------------------------------
 # Band SpMM: the fast path for banded (post-RCM) graphs
 # ---------------------------------------------------------------------------
 # After a locality-preserving node ordering (parallel.partition), real-world

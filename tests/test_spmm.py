@@ -75,6 +75,27 @@ def test_band_matmul_matches_dense(N, bw, bs):
     np.testing.assert_allclose(got, x @ S, atol=1e-4, rtol=1e-4)
 
 
+def test_band_shift_register_matches_chained():
+    """Fused K-tap register == chained band_matmul (interpret mode; the
+    compiled-TPU path is experimental pending Mosaic DMA validation)."""
+    N, R, K = 96, 12, 4
+    rng = np.random.default_rng(7)
+    S = np.zeros((N, N), np.float32)
+    ii = rng.integers(0, N, 400)
+    jj = ii + rng.integers(-20, 21, 400)
+    ok = (jj >= 0) & (jj < N)
+    S[ii[ok], jj[ok]] = rng.random(ok.sum())
+    x = rng.random((R, N)).astype(np.float32)
+    s_band, w = spmm.dense_to_band(S, 16)
+    got = spmm.band_shift_register(jnp.asarray(x), jnp.asarray(s_band),
+                                   n_taps=K, n_cols=N, w=w, block_size=16,
+                                   row_tile=8, interpret=True)
+    want = [x]
+    for _ in range(K - 1):
+        want.append(want[-1] @ S)
+    np.testing.assert_allclose(got, np.stack(want), atol=1e-4, rtol=1e-4)
+
+
 def test_band_diag_only():
     S = np.diag(np.arange(1.0, 33.0))
     x = np.random.default_rng(0).random((4, 32)).astype(np.float32)
