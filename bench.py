@@ -34,6 +34,14 @@ def _bench(fn, iters=20, warmup=3):
 
 def main():
     import jax
+    # persistent compilation cache: the remote-compile tunnel makes fresh
+    # compiles slow (~minutes); cached reruns take seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from graph_neural_networks_tpu.ops import spmm
 
