@@ -51,6 +51,9 @@ class Gso:
     blocks: Optional[jnp.ndarray] = None
     block_row: Optional[jnp.ndarray] = None
     block_col: Optional[jnp.ndarray] = None
+    s_band: Optional[jnp.ndarray] = None      # (E, nb, (2w+1)*bs, bs)
+    s_band_t: Optional[jnp.ndarray] = None    # transposed slab (for VJP)
+    band_w: int = struct.field(pytree_node=False, default=0)
     n: int = struct.field(pytree_node=False, default=0)
     n_edge_features: int = struct.field(pytree_node=False, default=1)
     block_size: int = struct.field(pytree_node=False, default=128)
@@ -83,6 +86,27 @@ def as_gso(S, mode: str = "dense", block_size: int = 128,
     dev = jnp.asarray(S, dtype=dtype)
     if mode == "dense":
         return Gso(S=dev, n=N, n_edge_features=E, mode="dense")
+    if mode == "band":
+        # banded Pallas path (post-RCM graphs); differentiable via the
+        # transposed slab (spmm.band_shift custom VJP)
+        slabs, slabs_t, w_max = [], [], 0
+        for e in range(E):
+            _, w_e = spmm.dense_to_band(S[e], block_size)
+            w_max = max(w_max, w_e)
+        for e in range(E):
+            sb, _ = spmm.dense_to_band(S[e], block_size)
+            sbt, _ = spmm.dense_to_band(S[e].T, block_size)
+            # re-extract at the common w so all edge features share a slab
+            # shape
+            if sb.shape[1] != (2 * w_max + 1) * block_size:
+                sb = spmm.dense_to_band_at(S[e], block_size, w_max)
+                sbt = spmm.dense_to_band_at(S[e].T, block_size, w_max)
+            slabs.append(sb)
+            slabs_t.append(sbt)
+        return Gso(S=dev, s_band=jnp.asarray(np.stack(slabs), dtype),
+                   s_band_t=jnp.asarray(np.stack(slabs_t), dtype),
+                   band_w=w_max, n=N, n_edge_features=E,
+                   block_size=block_size, mode="band")
     assert mode == "bcsr"
     blocks, brow, bcol = [], None, None
     for e in range(E):
@@ -138,6 +162,18 @@ def gshift(gso, x: jnp.ndarray) -> jnp.ndarray:
     if not isinstance(gso, Gso) or gso.mode == "dense":
         S = dense(gso)
         return jnp.einsum("...egn,enm->...egm", x, S)
+    if gso.mode == "band":
+        E = gso.n_edge_features
+        shp = x.shape
+        N = shp[-1]
+        xg = jnp.moveaxis(x, -3, 0).reshape(E, -1, N)
+        outs = [
+            spmm.band_shift(xg[e], gso.s_band[e], gso.s_band_t[e], N,
+                            gso.band_w, gso.block_size)
+            for e in range(E)
+        ]
+        y = jnp.stack(outs).reshape((E,) + shp[:-3] + shp[-2:-1] + (N,))
+        return jnp.moveaxis(y, 0, -3)
     # bcsr path: flatten everything but (E, N) into rows
     E = gso.n_edge_features
     shp = x.shape

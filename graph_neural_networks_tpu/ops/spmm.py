@@ -157,6 +157,36 @@ def dense_matmul_reference(x: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Differentiable band shift (custom VJP): d/dx (x @ S) pullback = g @ S^T,
+# which is another band matmul with the transposed slab — so the backward
+# pass runs on the same Pallas kernel and training works end-to-end on the
+# sparse path. S itself is treated as structure (non-differentiable), like
+# the reference's GSO.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def band_shift(x, s_band, s_band_t, n_cols, w, block_size=128,
+               row_tile=256):
+    return band_matmul(x, s_band, n_cols=n_cols, w=w, block_size=block_size,
+                       row_tile=row_tile)
+
+
+def _band_shift_fwd(x, s_band, s_band_t, n_cols, w, block_size, row_tile):
+    y = band_matmul(x, s_band, n_cols=n_cols, w=w, block_size=block_size,
+                    row_tile=row_tile)
+    return y, s_band_t
+
+
+def _band_shift_bwd(n_cols, w, block_size, row_tile, s_band_t, g):
+    dx = band_matmul(g, s_band_t, n_cols=n_cols, w=w, block_size=block_size,
+                     row_tile=row_tile)
+    return dx, None, None
+
+
+band_shift.defvjp(_band_shift_fwd, _band_shift_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused K-tap band shift register
 # ---------------------------------------------------------------------------
 # Computes the whole LSIGF shift register [x, xS, xS^2, ..., xS^{K-1}] in ONE
@@ -309,6 +339,29 @@ def dense_to_band(S: np.ndarray, block_size: int = 128):
             if 0 <= i < nb:
                 s_band[j, k * bs:(k + 1) * bs] = tiles[i, j]
     return s_band, w
+
+
+def dense_to_band_at(S: np.ndarray, block_size: int, w: int) -> np.ndarray:
+    """Extract the band slab at a FIXED block bandwidth w (drops any
+    nonzeros outside; callers must pick w >= the true bandwidth)."""
+    import os
+    from graph_neural_networks_tpu.utils import native
+    if native.available() and not os.environ.get("GNT_NO_NATIVE"):
+        slab, _ = native.band_extract(np.asarray(S, np.float32), block_size, w)
+        return slab
+    N = S.shape[0]
+    bs = block_size
+    nb = _cdiv(N, bs)
+    Np = nb * bs
+    Sp = np.zeros((Np, Np), dtype=np.float32)
+    Sp[:N, :N] = S
+    tiles = Sp.reshape(nb, bs, nb, bs).transpose(0, 2, 1, 3)
+    s_band = np.zeros((nb, (2 * w + 1) * bs, bs), dtype=np.float32)
+    for j in range(nb):
+        for k, i in enumerate(range(j - w, j + w + 1)):
+            if 0 <= i < nb:
+                s_band[j, k * bs:(k + 1) * bs] = tiles[i, j]
+    return s_band
 
 
 def _make_band_kernel(w: int, bs: int, precision):

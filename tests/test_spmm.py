@@ -106,6 +106,42 @@ def test_band_diag_only():
     np.testing.assert_allclose(got, x @ S, atol=1e-5)
 
 
+def test_band_gso_trainable_matches_dense():
+    """The 'band' Gso mode: forward == dense AND gradients flow through the
+    Pallas kernel via the custom VJP (training on the sparse path)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from graph_neural_networks_tpu.ops import filters, gso as gso_lib
+    N = 64
+    rng = np.random.default_rng(11)
+    S = np.zeros((N, N), np.float32)
+    ii = rng.integers(0, N, 300)
+    jj = ii + rng.integers(-12, 13, 300)
+    ok = (jj >= 0) & (jj < N)
+    S[ii[ok], jj[ok]] = rng.random(ok.sum())
+    h = jnp.asarray(rng.random((3, 1, 3, 2)), jnp.float32)
+    x = jnp.asarray(rng.random((2, 2, N)), jnp.float32)
+
+    g_dense = gso_lib.as_gso(S, mode="dense")
+    with pltpu.force_tpu_interpret_mode():
+        g_band = gso_lib.as_gso(S, mode="band", block_size=16)
+
+        y_d = filters.lsigf(h, g_dense, x)
+        y_b = filters.lsigf(h, g_band, x)
+        np.testing.assert_allclose(y_b, y_d, atol=1e-4, rtol=1e-4)
+
+        def loss_band(h, x):
+            return jnp.sum(filters.lsigf(h, g_band, x) ** 2)
+
+        def loss_dense(h, x):
+            return jnp.sum(filters.lsigf(h, g_dense, x) ** 2)
+
+        gh_b, gx_b = jax.grad(loss_band, argnums=(0, 1))(h, x)
+        gh_d, gx_d = jax.grad(loss_dense, argnums=(0, 1))(h, x)
+    np.testing.assert_allclose(gh_b, gh_d, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(gx_b, gx_d, atol=1e-3, rtol=1e-3)
+
+
 def test_gso_bcsr_gshift_matches_dense():
     from graph_neural_networks_tpu.ops import gso as gso_lib
     N = 96
