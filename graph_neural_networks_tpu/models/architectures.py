@@ -289,6 +289,22 @@ class _ArchBase:
     def parameter_count(self, params) -> int:
         return sum(p.size for p in jax.tree_util.tree_leaves(params))
 
+    def shard(self, mesh, n_parts: int):
+        """Run this architecture's graph shifts node-sharded over `mesh`'s
+        'graph' axis: swaps ctx['S'] for a parallel.ShardedGso (keeping
+        this architecture's node ordering; contiguous blocks, halo ring
+        when the ordered GSO is banded, all-gather otherwise). Zero-pad
+        layers absorb the partition padding automatically."""
+        from graph_neural_networks_tpu import parallel as par
+        assert not getattr(self, "coarsening", False), \
+            "coarsening uses per-level GSOs; shard() supports the flat path"
+        S_np = getattr(self, "_S_np", None)
+        assert S_np is not None, "architecture was not built with _S_np"
+        part = par.partition_nodes(S_np, n_parts, order="none")
+        self.ctx = dict(self.ctx)
+        self.ctx["S"] = par.ShardedGso(mesh, part)
+        return self
+
 
 def _identity_order_map(order, N):
     """order as gather map (no fake nodes)."""
@@ -365,6 +381,7 @@ class SelectionGNN(_ArchBase):
         else:
             S_np, order = gt.permutation_by_name(self.order_name)(GSO)
             self.order = order
+            self._S_np = S_np
             N = S_np.shape[1]
             N_list = [N] + list(nSelectedNodes)
             alpha = list(poolingSize)
@@ -434,6 +451,7 @@ class _SelectionVariant(_ArchBase):
         L = len(cfg["taps"])
         S_np, order = gt.permutation_by_name(self.order_name)(GSO)
         self.order = order
+        self._S_np = S_np
         N = S_np.shape[1]
         N_list = [N] + list(nSelectedNodes)
         alpha = list(poolingSize)

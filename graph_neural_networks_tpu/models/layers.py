@@ -45,6 +45,9 @@ def _uniform_range(lo: float, hi: float):
 def _gso_n(S) -> int:
     if isinstance(S, gso_lib.Gso):
         return S.n
+    n = getattr(S, "n", None)  # duck-typed GSOs (parallel.ShardedGso)
+    if isinstance(n, int):
+        return n
     return S.shape[-1]
 
 

@@ -14,6 +14,7 @@ Usage:
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from graph_neural_networks_tpu.parallel.partition import GraphPartition
@@ -62,3 +63,13 @@ class ShardedGso:
 
     def unpad_signal(self, x: np.ndarray) -> np.ndarray:
         return self.partition.unpad_signal(x)
+
+
+# Register as a LEAFLESS pytree (the whole object is static aux data, keyed
+# by identity) so a ShardedGso can ride inside jitted ctx pytrees — e.g.
+# architectures' ctx["S"] — and a rebuilt one correctly retriggers a trace.
+jax.tree_util.register_pytree_node(
+    ShardedGso,
+    lambda s: ((), s),
+    lambda aux, children: aux,
+)

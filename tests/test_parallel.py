@@ -120,6 +120,23 @@ def test_sharded_gso_lsigf_matches_dense(mesh, band_graph):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_architecture_shard_matches_dense(mesh, band_graph):
+    """Full SelectionGNN forward with a node-sharded GSO (arch.shard) ==
+    the dense single-device forward."""
+    import jax
+    from graph_neural_networks_tpu.models import architectures as archs
+    S = band_graph / np.max(np.abs(np.linalg.eigvalsh(band_graph)))
+    arch = archs.SelectionGNN([1, 4, 4], [3, 3], True, "relu", [64, 64],
+                              "NoPool", [1, 1], [3], S)
+    params = arch.init(jax.random.PRNGKey(0))
+    x = RNG.random((3, 1, 64)).astype(np.float32)
+    want = np.asarray(arch.apply(params, x))
+    arch.shard(mesh, 8)
+    with mesh:
+        got = np.asarray(arch.apply(params, x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_partition_general_graph_falls_back(mesh):
     W = gt.create_graph("SBM", 40, {"nCommunities": 2, "probIntra": 0.9,
                                     "probInter": 0.3},
