@@ -86,8 +86,9 @@ def main():
             0, REPEAT * (K - 1),
             lambda i, z: spmm.band_matmul(z, sb, n_cols=N, w=w), x)
 
-    # numerical sanity before timing (single chain)
-    d = np.asarray(jnp.dot(x, Sd, precision=jax.lax.Precision.HIGHEST))
+    # numerical sanity before timing (numpy oracle; keeps the device
+    # program count down — remote compiles are minutes each here)
+    d = np.asarray(x) @ S
     b = np.asarray(spmm.band_matmul(x, sb, n_cols=N, w=w))
     err = np.abs(d - b).max() / (np.abs(d).max() + 1e-9)
     assert err < 1e-3, f"band mismatch: rel err {err}"
