@@ -58,6 +58,9 @@ class Gso:
     n_edge_features: int = struct.field(pytree_node=False, default=1)
     block_size: int = struct.field(pytree_node=False, default=128)
     mode: str = struct.field(pytree_node=False, default="dense")
+    # 'highest' = true f32 (reference parity); 'default' = bf16 MXU passes
+    # (the TPU-native training norm, ~1.6x faster shifts)
+    precision: str = struct.field(pytree_node=False, default="highest")
 
     @property
     def N(self) -> int:
@@ -77,15 +80,20 @@ def _normalize_dense(S) -> np.ndarray:
 
 
 def as_gso(S, mode: str = "dense", block_size: int = 128,
-           dtype=jnp.float32) -> Gso:
-    """Build a :class:`Gso` from a dense numpy/jax array (N x N or E x N x N)."""
+           dtype=jnp.float32, precision: str = "highest") -> Gso:
+    """Build a :class:`Gso` from a dense numpy/jax array (N x N or E x N x N).
+
+    precision: 'highest' (true f32, reference parity) or 'default' (bf16
+    MXU passes — the TPU-native training norm, ~1.6x faster shifts).
+    """
     if isinstance(S, Gso):
         return S
     S = _normalize_dense(np.asarray(S, dtype=np.float64))
     E, N, _ = S.shape
     dev = jnp.asarray(S, dtype=dtype)
     if mode == "dense":
-        return Gso(S=dev, n=N, n_edge_features=E, mode="dense")
+        return Gso(S=dev, n=N, n_edge_features=E, mode="dense",
+                   precision=precision)
     if mode == "band":
         # banded Pallas path (post-RCM graphs); differentiable via the
         # transposed slab (spmm.band_shift custom VJP)
@@ -106,7 +114,7 @@ def as_gso(S, mode: str = "dense", block_size: int = 128,
         return Gso(S=dev, s_band=jnp.asarray(np.stack(slabs), dtype),
                    s_band_t=jnp.asarray(np.stack(slabs_t), dtype),
                    band_w=w_max, n=N, n_edge_features=E,
-                   block_size=block_size, mode="band")
+                   block_size=block_size, mode="band", precision=precision)
     assert mode == "bcsr"
     blocks, brow, bcol = [], None, None
     for e in range(E):
@@ -161,7 +169,10 @@ def gshift(gso, x: jnp.ndarray) -> jnp.ndarray:
         return gso.shift(x)
     if not isinstance(gso, Gso) or gso.mode == "dense":
         S = dense(gso)
-        return jnp.einsum("...egn,enm->...egm", x, S)
+        prec = None
+        if isinstance(gso, Gso) and gso.precision == "highest":
+            prec = jax.lax.Precision.HIGHEST
+        return jnp.einsum("...egn,enm->...egm", x, S, precision=prec)
     if gso.mode == "band":
         E = gso.n_edge_features
         shp = x.shape
