@@ -173,6 +173,15 @@ class Trainer:
                 self._key = jnp.asarray(state["key"])
                 loss_train = list(state["loss_train"])
                 cost_valid = list(state["cost_valid"])
+        def _loop_state():
+            return {
+                "next_epoch": epoch, "best_score": best_score,
+                "best_epoch": best_epoch, "best_batch": best_batch,
+                "lag": lag, "np_rng": self.rng.bit_generator.state,
+                "key": np.asarray(self._key),
+                "loss_train": loss_train, "cost_valid": cost_valid,
+            }
+
         while epoch < self.nEpochs and (lag < self.earlyStoppingLag
                                         or not self.doEarlyStopping):
             perm = self.rng.permutation(n_train)
@@ -210,20 +219,10 @@ class Trainer:
                         lag += 1
                 batch += 1
             epoch += 1
-
-            def _loop_state():
-                return {
-                    "next_epoch": epoch, "best_score": best_score,
-                    "best_epoch": best_epoch, "best_batch": best_batch,
-                    "lag": lag, "np_rng": self.rng.bit_generator.state,
-                    "key": np.asarray(self._key),
-                    "loss_train": loss_train, "cost_valid": cost_valid,
-                }
             # per-epoch resumable checkpoint (params + opt + loop state)
             model.save(label="Last", extra=_loop_state())
 
-        model.save(label="Last",
-                   extra=_loop_state() if epoch > 0 else None)
+        model.save(label="Last", extra=_loop_state())
         if best_score is not None:
             model.load(label="Best")  # reference reloads Best at end (:571)
         train_vars = {
