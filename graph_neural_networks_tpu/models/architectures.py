@@ -336,7 +336,8 @@ class SelectionGNN(_ArchBase):
 
     def __init__(self, dimNodeSignals, nFilterTaps, bias, nonlinearity,
                  nSelectedNodes, poolingFunction, poolingSize, dimLayersMLP,
-                 GSO, order=None, coarsening=False, rng=None):
+                 GSO, order=None, coarsening=False, rng=None,
+                 gsoMode="dense"):
         GSO = _normalize_gso(GSO)
         L = len(nFilterTaps)
         assert len(dimNodeSignals) == L + 1
@@ -350,6 +351,7 @@ class SelectionGNN(_ArchBase):
         self.coarsening = bool(coarsening) and E == 1
         self.E = E
         self.order_name = order
+        self.gso_mode = gsoMode
         self._build(GSO, nSelectedNodes, poolingSize, rng)
 
     def _build(self, GSO, nSelectedNodes, poolingSize, rng=None):
@@ -388,7 +390,8 @@ class SelectionGNN(_ArchBase):
             self.alpha = alpha
             pool_kind = ("no_pool" if cfg["pool"] == "NoPool" else "max_local")
             ctx = {
-                "S": gso_lib.as_gso(S_np),
+                "S": gso_lib.as_gso(S_np, mode=getattr(self, "gso_mode",
+                                                       "dense")),
                 "order_map": _identity_order_map(order, N),
                 "pool_nbh": (_pool_tables(S_np, N_list, alpha, L)
                              if pool_kind == "max_local" else (None,) * L),
@@ -428,7 +431,8 @@ class _SelectionVariant(_ArchBase):
 
     def __init__(self, dims, taps, taps2, bias, sigma, nSelectedNodes,
                  poolingFunction, poolingSize, readout_dims, GSO, order,
-                 edge_features=None, t_max=5, act_hops=(), act_kind=None):
+                 edge_features=None, t_max=5, act_hops=(), act_kind=None,
+                 gsoMode="dense"):
         GSO = _normalize_gso(GSO)
         L = len(taps)
         sigma = resolve_activation(sigma)
@@ -440,6 +444,7 @@ class _SelectionVariant(_ArchBase):
             act_kind=act_kind or self.act_kind)
         self.E = GSO.shape[0] if edge_features is None else edge_features
         self.order_name = order
+        self.gso_mode = gsoMode
         self._build(GSO, nSelectedNodes, poolingSize)
 
     # subclass hook: extra ctx entries derived from the (permuted) GSO
@@ -458,7 +463,8 @@ class _SelectionVariant(_ArchBase):
         self.alpha = alpha
         pool_kind = "no_pool" if cfg["pool"] == "NoPool" else "max_local"
         ctx = {
-            "S": gso_lib.as_gso(S_np),
+            "S": gso_lib.as_gso(S_np, mode=getattr(self, "gso_mode",
+                                                   "dense")),
             "order_map": _identity_order_map(order, N),
             "pool_nbh": (_pool_tables(S_np, N_list, alpha, L)
                          if pool_kind == "max_local" else (None,) * L),

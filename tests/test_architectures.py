@@ -65,6 +65,21 @@ def test_selection_gnn_change_gso(gso, x):
     assert not np.allclose(y1, y2)
 
 
+def test_selection_gnn_band_mode(gso, x):
+    """gsoMode='band' routes the shifts through the trainable Pallas path;
+    forward matches dense (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+    arch_d = archs.SelectionGNN([1, 4], [3], True, "relu", [N], "NoPool",
+                                [1], [5], gso)
+    params = arch_d.init(jax.random.PRNGKey(0))
+    want = np.asarray(arch_d.apply(params, x))
+    with pltpu.force_tpu_interpret_mode():
+        arch_b = archs.SelectionGNN([1, 4], [3], True, "relu", [N], "NoPool",
+                                    [1], [5], gso, gsoMode="band")
+        got = np.asarray(arch_b.apply(params, x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_selection_gnn_coarsening(gso, x):
     arch = archs.SelectionGNN([1, 4, 8], [3, 3], True, "relu", [0, 0],
                               "MaxPoolLocal", [2, 2], [5], gso,
