@@ -49,8 +49,9 @@ def main():
     G.compute_gft()
     S = G.W / np.max(np.diag(G.E).real)               # S = W / lambda_max
     sources = gt.compute_source_nodes(G.A, C)
+    # tMax = 25 per the reference driver (sourceLocGNN.py:119)
     data = D.SourceLocalization(G, nTrain, nValid, nTest, sources,
-                                tMax=None if not args.quick else 8, rng=rng)
+                                tMax=25 if not args.quick else 8, rng=rng)
     data.expandDims()
     misc.write_var_values(f"{args.saveDir}/hyperparameters.txt", {
         "N": N, "C": C, "F": F, "K": K, "pool": pool})
