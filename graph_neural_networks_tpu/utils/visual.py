@@ -57,6 +57,15 @@ class Visualizer:
         return path
 
 
+def enable_nan_debugging(enable: bool = True) -> None:
+    """Turn on jax.debug_nans: any NaN produced under jit raises at the
+    producing op (the framework's race/sanitizer analogue — SURVEY.md §5:
+    computation is functional, so there are no data races by construction;
+    numeric poisoning is the failure mode to trap)."""
+    import jax
+    jax.config.update("jax_debug_nans", enable)
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str):
     """jax.profiler trace context (view with TensorBoard / xprof)."""
