@@ -28,6 +28,8 @@ def main():
                     help="target movie node (reference uses 50)")
     ap.add_argument("--dataDir", default=None,
                     help="directory containing ml-100k/u.data")
+    ap.add_argument("--interpolate", action="store_true",
+                    help="NN-interpolate missing ratings before training")
     ap.add_argument("--saveDir", default="experiments/movielens")
     args = ap.parse_args()
     if args.cpu:
@@ -42,6 +44,8 @@ def main():
     node = args.node if not args.quick else 25
     data = D.MovieLens("movie", node, 0.9, 0.1, data_dir=args.dataDir,
                        kNN=10, rng=rng)
+    if args.interpolate:
+        data.interpolateRatings()
     W = data.getGraph()
     N = W.shape[0]
     S = W / np.max(np.abs(np.linalg.eigvalsh(W)))
