@@ -53,6 +53,9 @@ class Gso:
     block_col: Optional[jnp.ndarray] = None
     s_band: Optional[jnp.ndarray] = None      # (E, nb, (2w+1)*bs, bs)
     s_band_t: Optional[jnp.ndarray] = None    # transposed slab (for VJP)
+    blocks_t: Optional[jnp.ndarray] = None    # transposed BCSR (for VJP)
+    block_row_t: Optional[jnp.ndarray] = None
+    block_col_t: Optional[jnp.ndarray] = None
     band_w: int = struct.field(pytree_node=False, default=0)
     n: int = struct.field(pytree_node=False, default=0)
     n_edge_features: int = struct.field(pytree_node=False, default=1)
@@ -134,11 +137,16 @@ def as_gso(S, mode: str = "dense", block_size: int = 128,
                     S[ee], block_size, *pattern) for ee in range(E)]
                 brow, bcol = r2, c2
                 break
+    blocks = np.stack(blocks)
+    tr = [spmm.bcsr_transpose(blocks[e], brow, bcol) for e in range(E)]
     return Gso(
         S=dev,
-        blocks=jnp.asarray(np.stack(blocks), dtype=dtype),
+        blocks=jnp.asarray(blocks, dtype=dtype),
         block_row=jnp.asarray(brow, dtype=np.int32),
         block_col=jnp.asarray(bcol, dtype=np.int32),
+        blocks_t=jnp.asarray(np.stack([t[0] for t in tr]), dtype=dtype),
+        block_row_t=jnp.asarray(tr[0][1], dtype=np.int32),
+        block_col_t=jnp.asarray(tr[0][2], dtype=np.int32),
         n=N, n_edge_features=E, block_size=block_size, mode="bcsr")
 
 
@@ -191,8 +199,9 @@ def gshift(gso, x: jnp.ndarray) -> jnp.ndarray:
     N = shp[-1]
     xg = jnp.moveaxis(x, -3, 0).reshape(E, -1, N)  # (E, R, N)
     outs = [
-        spmm.bcsr_matmul(xg[e], gso.blocks[e], gso.block_row, gso.block_col,
-                         n_cols=N, block_size=gso.block_size)
+        spmm.bcsr_shift(xg[e], gso.blocks[e], gso.block_row, gso.block_col,
+                        gso.blocks_t[e], gso.block_row_t, gso.block_col_t,
+                        N, gso.block_size)
         for e in range(E)
     ]
     y = jnp.stack(outs)  # (E, R, N)

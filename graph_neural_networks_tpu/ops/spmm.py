@@ -186,6 +186,43 @@ def _band_shift_bwd(n_cols, w, block_size, row_tile, s_band_t, g):
 band_shift.defvjp(_band_shift_fwd, _band_shift_bwd)
 
 
+def bcsr_transpose(blocks: np.ndarray, rows: np.ndarray, cols: np.ndarray):
+    """Host-side transpose of a BCSR layout: swap row/col ids, transpose
+    each tile, re-sort by (col, row)."""
+    t_rows = np.asarray(cols)
+    t_cols = np.asarray(rows)
+    t_blocks = np.ascontiguousarray(np.swapaxes(np.asarray(blocks), 1, 2))
+    order = np.lexsort((t_rows, t_cols))
+    return (t_blocks[order], t_rows[order].astype(np.int32),
+            t_cols[order].astype(np.int32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def bcsr_shift(x, blocks, brow, bcol, blocks_t, brow_t, bcol_t,
+               n_cols, block_size=128):
+    """Differentiable BCSR SpMM (cotangent = shift by S^T; S is structure,
+    non-differentiable — same contract as band_shift)."""
+    return bcsr_matmul(x, blocks, brow, bcol, n_cols=n_cols,
+                       block_size=block_size)
+
+
+def _bcsr_shift_fwd(x, blocks, brow, bcol, blocks_t, brow_t, bcol_t,
+                    n_cols, block_size):
+    y = bcsr_matmul(x, blocks, brow, bcol, n_cols=n_cols,
+                    block_size=block_size)
+    return y, (blocks_t, brow_t, bcol_t)
+
+
+def _bcsr_shift_bwd(n_cols, block_size, res, g):
+    blocks_t, brow_t, bcol_t = res
+    dx = bcsr_matmul(g, blocks_t, brow_t, bcol_t, n_cols=n_cols,
+                     block_size=block_size)
+    return dx, None, None, None, None, None, None
+
+
+bcsr_shift.defvjp(_bcsr_shift_fwd, _bcsr_shift_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Fused K-tap band shift register
 # ---------------------------------------------------------------------------

@@ -106,6 +106,33 @@ def test_band_diag_only():
     np.testing.assert_allclose(got, x @ S, atol=1e-5)
 
 
+def test_bcsr_gso_trainable_matches_dense():
+    """The 'bcsr' Gso mode is differentiable too (bcsr_shift custom VJP:
+    backward = shift by the transposed BCSR)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from graph_neural_networks_tpu.ops import filters, gso as gso_lib
+    N = 64
+    rng = np.random.default_rng(13)
+    S = _sparse_matrix(N)
+    h = jnp.asarray(rng.random((3, 1, 3, 2)), jnp.float32)
+    x = jnp.asarray(rng.random((2, 2, N)), jnp.float32)
+    g_dense = gso_lib.as_gso(S, mode="dense")
+    with pltpu.force_tpu_interpret_mode():
+        g_bcsr = gso_lib.as_gso(S, mode="bcsr", block_size=16)
+        y_b = filters.lsigf(h, g_bcsr, x)
+        gh_b, gx_b = jax.grad(
+            lambda h, x: jnp.sum(filters.lsigf(h, g_bcsr, x) ** 2),
+            argnums=(0, 1))(h, x)
+    y_d = filters.lsigf(h, g_dense, x)
+    gh_d, gx_d = jax.grad(
+        lambda h, x: jnp.sum(filters.lsigf(h, g_dense, x) ** 2),
+        argnums=(0, 1))(h, x)
+    np.testing.assert_allclose(y_b, y_d, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gh_b, gh_d, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(gx_b, gx_d, atol=1e-3, rtol=1e-3)
+
+
 def test_band_gso_trainable_matches_dense():
     """The 'band' Gso mode: forward == dense AND gradients flow through the
     Pallas kernel via the custom VJP (training on the sparse path)."""
