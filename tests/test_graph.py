@@ -199,3 +199,10 @@ def test_coarsening(rng):
     assert xp.shape == (2, 3, N0)
     # every original value appears exactly once
     assert np.allclose(np.sort(xp.ravel())[-x.size:], np.sort(x.ravel()))
+
+
+def test_compute_nonzero_rows(sbm):
+    rows = gt.compute_nonzero_rows(sbm, n_rows=5)
+    assert len(rows) == 5
+    for i, r in enumerate(rows):
+        assert set(r) == set(np.flatnonzero(np.abs(sbm[i]) > 1e-9))

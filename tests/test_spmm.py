@@ -186,3 +186,19 @@ def test_gso_bcsr_gshift_matches_dense():
     finally:
         spmm.bcsr_matmul = orig
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_bcsr_union_pattern_for_mismatched_edge_features():
+    """E=2 GSO whose edge features have different supports: as_gso falls
+    back to the union sparsity pattern (gso.py)."""
+    from graph_neural_networks_tpu.ops import gso as gso_lib
+    rng = np.random.default_rng(21)
+    N = 64
+    S0 = np.zeros((N, N), np.float32)
+    S1 = np.zeros((N, N), np.float32)
+    S0[:32, :32] = rng.random((32, 32)) * (rng.random((32, 32)) < 0.3)
+    S1[32:, 32:] = rng.random((32, 32)) * (rng.random((32, 32)) < 0.3)
+    g = gso_lib.as_gso(np.stack([S0, S1]), mode="bcsr", block_size=16)
+    assert g.blocks.shape[0] == 2
+    # dense forward equality through the duck-typed dense attribute
+    np.testing.assert_allclose(np.asarray(g.S[0]), S0, atol=1e-6)
