@@ -78,6 +78,23 @@ def main():
         print(f"  error rate: best {res['costBest']:.4f} "
               f"last {res['costLast']:.4f}")
 
+    # --- Selection GNN with Graclus coarsening pooling --------------------
+    # (reference sourceLocGNN.py:318-340: rescaled GSO, poolingSize [2,2])
+    if not args.quick:
+        arch = archs.SelectionGNN(F, K, True, "relu", [0, 0],
+                                  "MaxPoolLocal", [2, 2], mlp, S,
+                                  coarsening=True, rng=rng)
+        model = T.Model(arch, T.losses.cross_entropy_loss,
+                        {"name": "ADAM", "lr": 1e-3}, T.Trainer, T.evaluate,
+                        name="SelGNNcrs", saveDir=args.saveDir,
+                        seed=args.seed)
+        print(f"SelGNN-coarsening: {model.nParameters} params; training...")
+        model.train(data, nEpochs, batch, validationInterval=20)
+        res = model.evaluate(data)
+        results["SelGNNcrs"] = res
+        print(f"  error rate: best {res['costBest']:.4f} "
+              f"last {res['costLast']:.4f}")
+
     # --- Aggregation GNN --------------------------------------------------
     aggF, aggK = ([1, 8, 16], [3, 4]) if args.quick else ([1, 16, 32], [4, 8])
     arch = archs.AggregationGNN(aggF, aggK, True, "relu", "MaxPoolLocal",
