@@ -1,17 +1,25 @@
-"""Headline benchmark: LSIGF graph-convolution throughput on one chip.
+"""Headline benchmark: LSIGF graph-convolution throughput on one chip,
+with roofline (MFU) accounting.
 
 Measures the K-tap LSIGF (the framework's hot kernel, SURVEY.md §2.2) on a
 sparse graph two ways:
   * dense  -- the reference algorithm (dense N x N matmuls, what
     alegnn/utils/graphML.py:158-161 does on every shift), and
-  * bcsr   -- this framework's Pallas block-sparse SpMM path.
+  * band   -- this framework's Pallas block-banded SpMM path.
 
-Reports edges/s for the sparse path and the speedup over the dense
-reference algorithm on the same hardware as vs_baseline (the reference
-repo publishes no numbers — BASELINE.md — so the dense algorithm at equal
-accuracy is the baseline).
+Roofline accounting: the chip's achievable peak is MEASURED by a dense
+MXU probe at the same dtype/precision as the kernel (not taken from a
+datasheet), and roofline_pct = executed_flops/sec / peak. Executed flops
+for the band kernel are the dense math on the stored band slab
+(2*R*nb*(2w+1)*bs^2 per shift); the `edge_fraction` field reports how
+much of that executed math is true graph edges — the honest split
+between kernel efficiency (roofline_pct) and format efficiency
+(edge_fraction), per VERDICT.md round-1 item 2.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"roofline_pct", ...}. Run with --sweep for the {N, density, bandwidth,
+R} x {f32, bf16} x {band, bcsr} sweep (written to
+experiments/bench_sweep.json).
 """
 
 import json
@@ -32,6 +40,152 @@ def _bench(fn, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
+_PEAK_CACHE = {}
+
+
+def measure_peak(dtype_name: str):
+    """Achievable dense-matmul peak (FLOP/s) at a given dtype/precision,
+    measured on this chip with a 4096^3 MXU probe."""
+    if dtype_name in _PEAK_CACHE:
+        return _PEAK_CACHE[dtype_name]
+    import jax
+    import jax.numpy as jnp
+    dt, prec = {
+        "f32": (jnp.float32, jax.lax.Precision.HIGHEST),
+        "f32x": (jnp.float32, jax.lax.Precision.DEFAULT),
+        "bf16": (jnp.bfloat16, jax.lax.Precision.DEFAULT),
+    }[dtype_name]
+    M, REPEAT = 4096, 40
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.random((M, M)), dt)
+    B = jnp.asarray(rng.random((M, M)), dt)
+
+    @jax.jit
+    def f(z):
+        return jax.lax.fori_loop(
+            0, REPEAT,
+            lambda i, z: jnp.dot(z, B, precision=prec,
+                                 preferred_element_type=dt), z)
+
+    f(A).block_until_ready()
+    t0 = time.perf_counter()
+    f(A).block_until_ready()
+    t = (time.perf_counter() - t0) / REPEAT
+    _PEAK_CACHE[dtype_name] = 2 * M ** 3 / t
+    return _PEAK_CACHE[dtype_name]
+
+
+def make_graph(N: int, density: float, bandwidth: int, seed: int = 0):
+    """Banded sparse graph: the post-RCM structure parallel.partition
+    produces for real-world graphs (edges concentrate near the diagonal)."""
+    rng = np.random.default_rng(seed)
+    S = np.zeros((N, N), np.float32)
+    ii = rng.integers(0, N, size=int(density * N * N))
+    jj = ii + rng.integers(-bandwidth, bandwidth + 1, size=len(ii))
+    ok = (jj >= 0) & (jj < N)
+    S[ii[ok], jj[ok]] = rng.random(ok.sum())
+    return S, int((np.abs(S) > 0).sum())
+
+
+def bench_config(N, R, density, bandwidth, dtype_name="f32", kernel="band",
+                 K=5, repeat=20, check=True):
+    """Time one LSIGF config; returns a result dict with roofline_pct."""
+    import jax
+    import jax.numpy as jnp
+    from graph_neural_networks_tpu.ops import spmm
+
+    dt, prec = {
+        "f32": (jnp.float32, jax.lax.Precision.HIGHEST),
+        "f32x": (jnp.float32, jax.lax.Precision.DEFAULT),
+        "bf16": (jnp.bfloat16, jax.lax.Precision.DEFAULT),
+    }[dtype_name]
+    rng = np.random.default_rng(0)
+    S, nnz = make_graph(N, density, bandwidth)
+    x = jnp.asarray(rng.random((R, N)), dt)
+    bs = 128
+    n_shifts = K - 1
+
+    if kernel == "band":
+        s_band, w = spmm.dense_to_band(S, bs)
+        sb = jnp.asarray(s_band, dt)
+        nb = s_band.shape[0]
+        flops_per_shift = 2 * R * nb * (2 * w + 1) * bs * bs
+
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(
+                0, repeat * n_shifts,
+                lambda i, z: spmm.band_matmul(z, sb, n_cols=N, w=w,
+                                              precision=prec), x)
+
+        def once(xx):
+            return spmm.band_matmul(xx, sb, n_cols=N, w=w, precision=prec)
+        meta = {"w": w, "band_mem": s_band.size / (N * N)}
+    elif kernel == "bcsr":
+        blocks, brow, bcol = spmm.dense_to_bcsr(S, bs)
+        blk = jnp.asarray(blocks, dt)
+        browj = jnp.asarray(brow)
+        bcolj = jnp.asarray(bcol)
+        nnzb = blocks.shape[0]
+        flops_per_shift = 2 * R * nnzb * bs * bs
+
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(
+                0, repeat * n_shifts,
+                lambda i, z: spmm.bcsr_matmul(z, blk, browj, bcolj, n_cols=N,
+                                              precision=prec), x)
+
+        def once(xx):
+            return spmm.bcsr_matmul(xx, blk, browj, bcolj, n_cols=N,
+                                    precision=prec)
+        meta = {"nnzb": nnzb, "bcsr_mem": blocks.size / (N * N)}
+    else:
+        raise ValueError(kernel)
+
+    if check:
+        d = np.asarray(x, np.float32) @ S
+        b = np.asarray(once(x), np.float32)
+        err = np.abs(d - b).max() / (np.abs(d).max() + 1e-9)
+        tol = 3e-2 if dtype_name != "f32" else 1e-3
+        assert err < tol, f"{kernel} mismatch: rel err {err}"
+
+    t = _bench(lambda: run(x)) / repeat / n_shifts   # per shift
+    peak = measure_peak(dtype_name)
+    executed = flops_per_shift / t
+    return dict(
+        kernel=kernel, dtype=dtype_name, N=N, R=R, density=density,
+        bandwidth=bandwidth, nnz=nnz, t_shift_ms=t * 1e3,
+        edges_per_s=R * nnz / t,
+        executed_tflops=executed / 1e12,
+        peak_tflops=peak / 1e12,
+        roofline_pct=100.0 * executed / peak,
+        edge_fraction=nnz * 1.0 / (flops_per_shift / (2 * R)),
+        **meta)
+
+
+def bench_dense(N, R, dtype_name="f32", K=5, repeat=20):
+    import jax
+    import jax.numpy as jnp
+    dt, prec = {
+        "f32": (jnp.float32, jax.lax.Precision.HIGHEST),
+        "f32x": (jnp.float32, jax.lax.Precision.DEFAULT),
+        "bf16": (jnp.bfloat16, jax.lax.Precision.DEFAULT),
+    }[dtype_name]
+    rng = np.random.default_rng(0)
+    S, _ = make_graph(N, 0.01, 256)
+    Sd = jnp.asarray(S, dt)
+    x = jnp.asarray(rng.random((R, N)), dt)
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(
+            0, repeat * (K - 1),
+            lambda i, z: jnp.dot(z, Sd, precision=prec), x)
+
+    return _bench(lambda: run(x)) / repeat / (K - 1)
+
+
 def main():
     import jax
     # persistent compilation cache: the remote-compile tunnel makes fresh
@@ -42,71 +196,51 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    import jax.numpy as jnp
-    from graph_neural_networks_tpu.ops import spmm
 
     N = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 4096
-    R = 512          # rows = batch * features
-    K = 5            # filter taps
-    density = 0.01
+    R, density, bandwidth = 512, 0.01, 256
 
-    rng = np.random.default_rng(0)
-    # banded sparse graph: the post-RCM structure parallel.partition
-    # produces for real-world graphs (edges concentrate near the diagonal)
-    S = np.zeros((N, N), np.float32)
-    bandwidth = 256
-    ii = rng.integers(0, N, size=int(density * N * N))
-    jj = ii + rng.integers(-bandwidth, bandwidth + 1, size=len(ii))
-    ok = (jj >= 0) & (jj < N)
-    S[ii[ok], jj[ok]] = rng.random(ok.sum())
-    nnz = int((np.abs(S) > 0).sum())
+    if "--sweep" in sys.argv:
+        results = []
+        base = dict(N=4096, R=512, density=0.01, bandwidth=256)
+        configs = []
+        for dt in ("f32", "bf16"):
+            configs.append({**base, "dtype_name": dt, "kernel": "band"})
+            configs.append({**base, "dtype_name": dt, "kernel": "bcsr"})
+        for n in (1024, 16384):
+            configs.append({**base, "N": n, "dtype_name": "f32",
+                            "kernel": "band"})
+        for bw in (128, 512):
+            configs.append({**base, "bandwidth": bw, "dtype_name": "f32",
+                            "kernel": "band"})
+        for r in (128, 2048):
+            configs.append({**base, "R": r, "dtype_name": "f32",
+                            "kernel": "band"})
+        for cfg in configs:
+            res = bench_config(**cfg)
+            results.append(res)
+            print(json.dumps(res), flush=True)
+        import os
+        os.makedirs("experiments", exist_ok=True)
+        with open("experiments/bench_sweep.json", "w") as f:
+            json.dump(results, f, indent=1)
+        return
 
-    x = jnp.asarray(rng.random((R, N)), jnp.float32)
-    Sd = jnp.asarray(S)
-    s_band, w = spmm.dense_to_band(S, 128)
-    sb = jnp.asarray(s_band)
-
-    # repeat the shift on-device (fori_loop: one compiled kernel, many
-    # iterations) so host dispatch latency (~1.5 ms through this
-    # container's TPU tunnel) doesn't mask the device time
-    REPEAT = 20
-
-    @jax.jit
-    def dense_lsigf(x):
-        # f32 MXU precision to match the sparse path (and the reference's
-        # fp32/fp64 semantics)
-        return jax.lax.fori_loop(
-            0, REPEAT * (K - 1),
-            lambda i, z: jnp.dot(z, Sd,
-                                 precision=jax.lax.Precision.HIGHEST), x)
-
-    @jax.jit
-    def band_lsigf(x):
-        return jax.lax.fori_loop(
-            0, REPEAT * (K - 1),
-            lambda i, z: spmm.band_matmul(z, sb, n_cols=N, w=w), x)
-
-    # numerical sanity before timing (numpy oracle; keeps the device
-    # program count down — remote compiles are minutes each here)
-    d = np.asarray(x) @ S
-    b = np.asarray(spmm.band_matmul(x, sb, n_cols=N, w=w))
-    err = np.abs(d - b).max() / (np.abs(d).max() + 1e-9)
-    assert err < 1e-3, f"band mismatch: rel err {err}"
-
-    t_dense = _bench(lambda: dense_lsigf(x)) / REPEAT
-    t_band = _bench(lambda: band_lsigf(x)) / REPEAT
-
-    edges_per_s = R * (K - 1) * nnz / t_band
-    speedup = t_dense / t_band
-    band_mem = s_band.size / (N * N)
+    res = bench_config(N, R, density, bandwidth, "f32", "band")
+    t_dense = bench_dense(N, R, "f32")
+    speedup = t_dense / (res["t_shift_ms"] / 1e3)
 
     print(json.dumps({
         "metric": "lsigf_band_spmm_edges_per_s",
-        "value": edges_per_s,
-        "unit": f"edges/s (N={N}, nnz={nnz}, K={K}, R={R}, "
-                f"band mem {band_mem:.1%} of dense, "
-                f"dense {t_dense*1e3:.2f}ms, band {t_band*1e3:.2f}ms)",
+        "value": res["edges_per_s"],
+        "unit": f"edges/s (N={N}, nnz={res['nnz']}, R={R}, "
+                f"band mem {res['band_mem']:.1%} of dense, "
+                f"dense {t_dense*1e3:.2f}ms, band {res['t_shift_ms']:.2f}ms"
+                f"/shift, {res['executed_tflops']:.1f} TF/s executed vs "
+                f"{res['peak_tflops']:.1f} TF/s measured f32 peak)",
         "vs_baseline": speedup,
+        "roofline_pct": round(res["roofline_pct"], 1),
+        "edge_fraction": round(res["edge_fraction"], 4),
     }))
 
 

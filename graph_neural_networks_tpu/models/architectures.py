@@ -289,20 +289,48 @@ class _ArchBase:
     def parameter_count(self, params) -> int:
         return sum(p.size for p in jax.tree_util.tree_leaves(params))
 
-    def shard(self, mesh, n_parts: int):
+    def shard(self, mesh, n_parts: int, order: str = "none",
+              data_axis: Optional[str] = None):
         """Run this architecture's graph shifts node-sharded over `mesh`'s
-        'graph' axis: swaps ctx['S'] for a parallel.ShardedGso (keeping
-        this architecture's node ordering; contiguous blocks, halo ring
-        when the ordered GSO is banded, all-gather otherwise). Zero-pad
-        layers absorb the partition padding automatically."""
+        'graph' axis: swaps ctx['S'] for a parallel.ShardedGso backed by a
+        sparse band-slab partition (never a dense N x N on device).
+
+        order: 'none' keeps this architecture's own node ordering (exact
+        parity with the dense forward; halo ring only if that ordering is
+        already banded). 'rcm' composes a locality-preserving reorder into
+        the model — the scaling path — allowed only when no structure
+        table depends on node positions (identity pooling, pointwise
+        activations); selection pooling is position-semantic in the
+        reference (graphML.py:2003-2019) so reordering would change it.
+        data_axis: also shard the batch dim over this mesh axis (hybrid
+        data x graph parallelism).
+        """
         from graph_neural_networks_tpu import parallel as par
         assert not getattr(self, "coarsening", False), \
             "coarsening uses per-level GSOs; shard() supports the flat path"
         S_np = getattr(self, "_S_np", None)
         assert S_np is not None, "architecture was not built with _S_np"
-        part = par.partition_nodes(S_np, n_parts, order="none")
+        part = par.partition_nodes(S_np, n_parts, order=order)
         self.ctx = dict(self.ctx)
-        self.ctx["S"] = par.ShardedGso(mesh, part)
+        if order != "none":
+            core = self.core
+            assert getattr(core, "pool_kind", "no_pool") == "no_pool" or all(
+                t is None for t in self.ctx.get("pool_nbh", ())), \
+                "order='rcm' requires identity pooling (position-semantic " \
+                "selection pooling forbids reordering)"
+            assert getattr(core, "act_kind", "pointwise") == "pointwise", \
+                "order='rcm' requires pointwise activations"
+            # compose the partition order into the input gather map and
+            # extend with fake (-1 -> zero) nodes for the partition padding
+            old_map = np.asarray(self.ctx["order_map"])
+            new_map = old_map[part.order]
+            pad = part.n_padded - len(new_map)
+            if pad:
+                new_map = np.concatenate(
+                    [new_map, np.full(pad, -1, new_map.dtype)])
+            self.ctx["order_map"] = jnp.asarray(new_map, jnp.int32)
+            self.order = [self.order[i] for i in part.order]
+        self.ctx["S"] = par.ShardedGso(mesh, part, data_axis=data_axis)
         return self
 
 

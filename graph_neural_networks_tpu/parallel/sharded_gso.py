@@ -30,15 +30,21 @@ class ShardedGso:
     """
 
     def __init__(self, mesh, partition: GraphPartition, axis: str = "graph",
-                 prefer_ring: bool = True):
+                 prefer_ring: bool = True, data_axis: str | None = None):
         self.mesh = mesh
         self.partition = partition
         self.axis = axis
+        self.data_axis = data_axis
         self.uses_ring = prefer_ring and partition.is_ring
-        if self.uses_ring:
-            self._shift = sharded_gshift_ring(mesh, partition, axis)
-        else:
-            self._shift = sharded_gshift_allgather(mesh, partition, axis)
+        build = sharded_gshift_ring if self.uses_ring \
+            else sharded_gshift_allgather
+        self._shift = build(mesh, partition, axis)
+        # hybrid data x graph variant, used when the (flattened) batch dim
+        # divides the data axis (falls back to graph-only sharding e.g. for
+        # the batch-1 init trace)
+        self._shift_dp = (build(mesh, partition, axis, data_axis=data_axis)
+                          if data_axis else None)
+        self._n_data = mesh.shape[data_axis] if data_axis else 1
 
     # the Gso duck-type surface used by ops.gso.gshift
     @property
@@ -51,11 +57,17 @@ class ShardedGso:
 
     @property
     def S(self):
+        """Dense (E, Np, Np) reconstruction — small-graph debug only
+        (partition.S_perm refuses above its size guard)."""
         import jax.numpy as jnp
         return jnp.asarray(self.partition.S_perm, jnp.float32)
 
     def shift(self, x):
-        """One sharded graph shift on (..., E, G, N_padded)."""
+        """One sharded graph shift on (..., E, G, N_padded); any number
+        of leading dims (5-D recurrent signals included)."""
+        lead = int(np.prod(x.shape[:-3])) if x.ndim > 3 else 1
+        if self._shift_dp is not None and lead % self._n_data == 0:
+            return self._shift_dp(x)
         return self._shift(x)
 
     def pad_signal(self, x: np.ndarray) -> np.ndarray:

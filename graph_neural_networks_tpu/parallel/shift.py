@@ -1,21 +1,29 @@
 """Sharded graph-shift (SpMM) paths and data-parallel training utilities.
 
-Three TPU-native ways to run ``y = x @ S`` across a device mesh:
+TPU-native ways to run ``y = x @ S`` across a device mesh, with S stored
+as **sharded band slabs** (parallel.partition) — never as a dense
+``E x N x N`` array:
 
-  1. GSPMD: annotate x/S with NamedShardings and let XLA insert the
+  1. GSPMD: annotate x with NamedShardings and let XLA insert the
      collectives (the zero-effort baseline — see make_dp_train_step).
-  2. ``sharded_gshift_allgather``: explicit shard_map — each 'graph' shard
-     all-gathers the node axis (one ICI all-gather) and contracts with its
-     local column block of S. Exact for any sparsity pattern.
-  3. ``sharded_gshift_ring``: halo exchange — valid when the partition is
-     banded (GraphPartition.is_ring, i.e. after RCM ordering every block's
-     in-edges come from itself and its two neighbors). Two ICI
-     ``ppermute``s move just the boundary blocks; compute overlaps with
-     whatever XLA schedules around it. This is the scaling path: volume
-     moved is O(halo), not O(N).
+  2. ``sharded_gshift_ring``: halo exchange — valid when the ordered
+     graph is banded (GraphPartition.is_ring). Two ICI ``ppermute``s move
+     only ``w * inner_bs`` boundary nodes per neighbor; each shard then
+     contracts its halo-extended signal against its local band slab.
+     Volume moved is O(halo), memory is O(N * bandwidth / P) per chip.
+  3. ``sharded_gshift_allgather``: fallback for non-banded partitions —
+     one ICI all-gather of the node axis, then the same local slab
+     contraction (the slab degenerates toward dense as w grows, but it
+     stays sharded across chips).
+
+Both shard_map paths are pure JAX (ppermute/all_gather + windowed block
+einsum), so they are differentiable end-to-end: training through a
+ShardedGso needs no custom VJP.
 
 Signals follow the gshift convention: x (..., E, G, N_padded) with the
-node axis LAST and padded/ordered by the GraphPartition.
+node axis LAST and padded/ordered by the GraphPartition. Any number of
+leading dims is supported (flattened internally) — recurrent 5-D
+(B, T, E, G, N) signals work.
 """
 
 from __future__ import annotations
@@ -25,82 +33,104 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from graph_neural_networks_tpu.parallel.partition import GraphPartition
 
 
-def _col_blocks(part: GraphPartition) -> jnp.ndarray:
-    """S arranged for column sharding: (E, Np, Np), device d owns columns
-    [d*bs, (d+1)*bs)."""
-    return jnp.asarray(part.S_perm, jnp.float32)
+def _band_contract(x_ext: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
+    """Local windowed band contraction.
+
+    x_ext: (L, E, G, (nbl + 2w) * ibs) halo-extended signal block;
+    slab:  (E, nbl, 2w+1, ibs, ibs) band slab (slab[e, j, k] multiplies
+    input inner-block j+k). Returns (L, E, G, nbl * ibs).
+    """
+    E, nbl, W, ibs, _ = slab.shape
+    L, E_, G, _ = x_ext.shape
+    xb = x_ext.reshape(L, E, G, nbl + W - 1, ibs)
+    # windows: (L, E, G, nbl, W, ibs); window k of output block j is input
+    # block j + k
+    win = jnp.stack([jax.lax.slice_in_dim(xb, k, k + nbl, axis=3)
+                     for k in range(W)], axis=4)
+    y = jnp.einsum("legjkn,ejknm->legjm", win, slab)
+    return y.reshape(L, E, G, nbl * ibs)
 
 
-def sharded_gshift_allgather(mesh: Mesh, part: GraphPartition,
-                             axis: str = "graph") -> Callable:
-    """Build y = x @ S with x node-sharded; one all-gather per shift."""
-    S = _col_blocks(part)
-    n_extra = None  # bound at call time
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(None, None, None, axis), P(None, None, axis)),
-        out_specs=P(None, None, None, axis))
-    def _shift(x_blk, S_blk):
-        # x_blk: (B, E, G, bs), S_blk: (E, Np, bs)
-        x_full = jax.lax.all_gather(x_blk, axis, axis=-1, tiled=True)
-        return jnp.einsum("begn,enm->begm", x_full, S_blk)
-
+def _with_flat_leading(shift4):
+    """Wrap a rank-4 (L, E, G, N) shift to accept (..., E, G, N)."""
     def shift(x):
-        return _shift(x, S)
+        lead = x.shape[:-3]
+        xf = x.reshape((-1,) + x.shape[-3:])
+        y = shift4(xf)
+        return y.reshape(lead + y.shape[-3:])
     return shift
-
-
-def _ring_blocks(part: GraphPartition) -> np.ndarray:
-    """(P, E, 3*bs, bs): for each block b, the rows of S from blocks
-    b-1, b, b+1 into block b's columns (zeros at the boundary)."""
-    bs = part.block_size
-    Pn = part.n_parts
-    E = part.S_perm.shape[0]
-    out = np.zeros((Pn, E, 3 * bs, bs))
-    for b in range(Pn):
-        cols = slice(b * bs, (b + 1) * bs)
-        for k, nb in enumerate((b - 1, b, b + 1)):
-            if 0 <= nb < Pn:
-                out[b, :, k * bs:(k + 1) * bs, :] = \
-                    part.S_perm[:, nb * bs:(nb + 1) * bs, cols]
-    return out
 
 
 def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
-                        axis: str = "graph") -> Callable:
-    """Halo-exchange shift: two ppermutes (left/right boundary blocks) plus
-    a local (3*bs x bs) contraction. Requires part.is_ring."""
+                        axis: str = "graph",
+                        data_axis: str | None = None) -> Callable:
+    """Halo-exchange shift: two ppermutes moving only the w*inner_bs
+    boundary nodes, plus the local band-slab contraction.
+    Requires part.is_ring (band fits within one neighbor shard).
+    data_axis: optionally shard the flattened leading (batch) dim too."""
     assert part.is_ring, (
-        "partition has bandwidth > 1; use sharded_gshift_allgather or more "
+        f"band half-width w={part.w} inner blocks exceeds the shard width "
+        f"(nbl={part.nbl}); use sharded_gshift_allgather or more "
         "aggressive reordering")
     n_dev = mesh.shape[axis]
-    S3 = jnp.asarray(_ring_blocks(part), jnp.float32)  # (P, E, 3bs, bs)
-
-    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    assert n_dev == part.n_parts, (n_dev, part.n_parts)
+    slabs = jnp.asarray(part.slabs)         # (P, E, nbl, W, ibs, ibs)
+    halo = part.halo
+    # non-circular perms: ppermute zero-fills missing sources, which is
+    # exactly the boundary condition (no nodes beyond the ends)
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, None, None, axis), P(axis, None, None, None)),
-        out_specs=P(None, None, None, axis))
-    def _shift(x_blk, S3_blk):
-        # x_blk: (B, E, G, bs); S3_blk: (1, E, 3bs, bs)
-        from_left = jax.lax.ppermute(x_blk, axis, fwd)   # block b-1's data
-        from_right = jax.lax.ppermute(x_blk, axis, bwd)  # block b+1's data
-        x_halo = jnp.concatenate([from_left, x_blk, from_right], axis=-1)
-        return jnp.einsum("begn,enm->begm", x_halo, S3_blk[0])
+        in_specs=(P(data_axis, None, None, axis),
+                  P(axis, None, None, None, None, None)),
+        out_specs=P(data_axis, None, None, axis))
+    def _shift(x_blk, slab_blk):
+        # x_blk: (L, E, G, bs); slab_blk: (1, E, nbl, W, ibs, ibs)
+        if halo > 0:
+            from_left = jax.lax.ppermute(x_blk[..., -halo:], axis, fwd)
+            from_right = jax.lax.ppermute(x_blk[..., :halo], axis, bwd)
+            x_ext = jnp.concatenate([from_left, x_blk, from_right], axis=-1)
+        else:
+            x_ext = x_blk
+        return _band_contract(x_ext, slab_blk[0])
 
-    def shift(x):
-        return _shift(x, S3)
-    return shift
+    return _with_flat_leading(lambda xf: _shift(xf, slabs))
+
+
+def sharded_gshift_allgather(mesh: Mesh, part: GraphPartition,
+                             axis: str = "graph",
+                             data_axis: str | None = None) -> Callable:
+    """All-gather fallback: gather the node axis, slice this shard's
+    halo-extended window, contract against the local band slab. Exact for
+    any bandwidth; the slab stays sharded across chips."""
+    n_dev = mesh.shape[axis]
+    assert n_dev == part.n_parts, (n_dev, part.n_parts)
+    slabs = jnp.asarray(part.slabs)
+    halo = part.halo
+    bs = part.block_size
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(data_axis, None, None, axis),
+                  P(axis, None, None, None, None, None)),
+        out_specs=P(data_axis, None, None, axis))
+    def _shift(x_blk, slab_blk):
+        x_full = jax.lax.all_gather(x_blk, axis, axis=-1, tiled=True)
+        xp = jnp.pad(x_full, [(0, 0)] * 3 + [(halo, halo)])
+        d = jax.lax.axis_index(axis)
+        x_ext = jax.lax.dynamic_slice_in_dim(
+            xp, d * bs, bs + 2 * halo, axis=-1)
+        return _band_contract(x_ext, slab_blk[0])
+
+    return _with_flat_leading(lambda xf: _shift(xf, slabs))
 
 
 def make_dp_train_step(step_fn: Callable, mesh: Mesh,

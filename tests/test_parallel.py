@@ -153,3 +153,107 @@ def test_partition_general_graph_falls_back(mesh):
         got = np.asarray(shift(jnp.asarray(xp)))
     want = np.einsum("begn,enm->begm", xp, part.S_perm)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_5d_signal(mesh, band_graph):
+    """Recurrent-shaped (B, T, E, G, N) signals go through the sharded
+    shift (round-1 limitation: 4-D only)."""
+    part = par.partition_nodes(band_graph, 8)
+    sgso = par.ShardedGso(mesh, part)
+    x = RNG.random((2, 3, 1, 2, part.n_padded)).astype(np.float32)
+    with mesh:
+        got = np.asarray(sgso.shift(jnp.asarray(x)))
+    want = np.einsum("btegn,enm->btegm", x, part.S_perm)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_architecture_gradients_match_dense(mesh, band_graph):
+    """Loss gradients through SelectionGNN with a node-sharded GSO ==
+    gradients on the dense single-device path (full training parity)."""
+    from graph_neural_networks_tpu.models import architectures as archs
+    S = band_graph / np.max(np.abs(np.linalg.eigvalsh(band_graph)))
+    x = RNG.random((4, 1, 64)).astype(np.float32)
+    y = RNG.integers(0, 3, 4)
+
+    def build():
+        return archs.SelectionGNN([1, 4, 4], [3, 3], True, "relu", [64, 64],
+                                  "NoPool", [1, 1], [3], S)
+
+    def loss_fn(arch):
+        ctx, core = arch.ctx, arch.core
+
+        def loss(p):
+            logits = core.apply(p, jnp.asarray(x), ctx)[0]
+            onehot = jax.nn.one_hot(jnp.asarray(y), 3)
+            return -jnp.mean(jnp.sum(
+                jax.nn.log_softmax(logits) * onehot, axis=-1))
+        return loss
+
+    dense_arch = build()
+    params = dense_arch.init(jax.random.PRNGKey(0))
+    l_dense, g_dense = jax.value_and_grad(loss_fn(dense_arch))(params)
+
+    sh_arch = build().shard(mesh, 8)
+    with mesh:
+        l_sh, g_sh = jax.jit(jax.value_and_grad(loss_fn(sh_arch)))(params)
+        jax.block_until_ready(g_sh)
+    np.testing.assert_allclose(float(l_sh), float(l_dense), rtol=1e-5)
+    for pd, ps in zip(jax.tree_util.tree_leaves(g_dense),
+                      jax.tree_util.tree_leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(pd),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_shard_rcm_composition(mesh, band_graph):
+    """arch.shard(order='rcm') composes the partition order into the model:
+    the sharded forward == the dense forward with the same composed
+    ordering (swap the ShardedGso for its dense reconstruction)."""
+    from graph_neural_networks_tpu.models import architectures as archs
+    from graph_neural_networks_tpu.ops import gso as gso_lib
+    S = band_graph / np.max(np.abs(np.linalg.eigvalsh(band_graph)))
+    arch = archs.SelectionGNN([1, 4, 4], [3, 3], True, "relu", [64, 64],
+                              "NoPool", [1, 1], [3], S)
+    arch.shard(mesh, 8, order="rcm")
+    sgso = arch.ctx["S"]
+    assert sgso.uses_ring
+    params = arch.init(jax.random.PRNGKey(1))
+    x = RNG.random((3, 1, 64)).astype(np.float32)
+    with mesh:
+        got = np.asarray(arch.apply(params, x))
+    # dense oracle with the identical composed node ordering
+    arch.ctx = dict(arch.ctx)
+    arch.ctx["S"] = gso_lib.as_gso(sgso.partition.S_perm)
+    want = np.asarray(arch.apply(params, x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_large_graph_no_dense(mesh):
+    """The scaling demo: N=200k banded sparse graph, partitioned and
+    shifted across 8 devices without EVER materializing a dense (N, N)
+    array (which would be 160 GB)."""
+    import scipy.sparse
+    N = 200_000
+    rng = np.random.default_rng(7)
+    # random banded sparse graph: each node links to a few nearby nodes
+    k = 4
+    rows = np.repeat(np.arange(N), k)
+    offs = rng.integers(1, 200, size=N * k)
+    cols = np.clip(rows + offs * rng.choice([-1, 1], size=N * k), 0, N - 1)
+    vals = rng.random(N * k).astype(np.float32)
+    A = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(N, N))
+    A = (A + A.T).tocoo()
+
+    part = par.partition_nodes(A, 8, order="none")  # already local
+    # slab memory is O(N * bandwidth), orders of magnitude below dense
+    assert part.slabs.nbytes < 0.02 * (4 * N * N)
+    with pytest.raises(AssertionError):
+        _ = part.S_perm  # densification is refused at this N
+
+    sgso = par.ShardedGso(mesh, part)
+    assert sgso.uses_ring
+    x = rng.random((1, 1, 1, part.n_padded)).astype(np.float32)
+    with mesh:
+        got = np.asarray(sgso.shift(jnp.asarray(x)))
+    want = (scipy.sparse.csr_matrix(part.S_csr[0]).T @ x[0, 0, 0]).astype(
+        np.float32)
+    np.testing.assert_allclose(got[0, 0, 0], want, atol=1e-3, rtol=1e-3)
