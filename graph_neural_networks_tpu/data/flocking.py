@@ -22,6 +22,42 @@ import numpy as np
 from graph_neural_networks_tpu.data.base import Data, ZERO_TOL, invert_tensor_ew
 
 
+def _jnp_comm_graph(pos, comm_radius):
+    """Single-step jnp communication graph (B,2,N) -> (B,N,N), unweighted
+    + lambda_max-normalized — the in-scan mirror of
+    compute_communication_graph (reference dataTools.py:2816-3020)."""
+    import jax.numpy as jnp
+    diff = pos[:, :, :, None] - pos[:, :, None, :]
+    dist_sq = jnp.sum(diff ** 2, axis=1)
+    Wk = jnp.exp(-dist_sq)
+    Wk = jnp.where(dist_sq > comm_radius ** 2, 0.0, Wk)
+    N = pos.shape[-1]
+    Wk = jnp.where(jnp.eye(N, dtype=bool)[None], 0.0, Wk)
+    W = (Wk > ZERO_TOL).astype(pos.dtype)
+    lam = jnp.max(jnp.linalg.eigvalsh(W), axis=-1)
+    lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
+    return W / lam[:, None, None]
+
+
+def _jnp_states(pos, vel, graph):
+    """Single-step jnp 6-feature agent state — the in-scan mirror of
+    compute_states (reference dataTools.py:2612-2815)."""
+    import jax.numpy as jnp
+    diff_pos = pos[:, :, :, None] - pos[:, :, None, :]
+    dist_sq = jnp.sum(diff_pos ** 2, axis=1)
+    diff_vel = vel[:, :, :, None] - vel[:, :, None, :]
+    adj = (jnp.abs(graph) > ZERO_TOL).astype(pos.dtype)[:, None]
+    inv = jnp.where(jnp.abs(dist_sq) > ZERO_TOL, 1.0 / dist_sq, 0.0)
+    inv = inv[:, None] * adj
+    diff_pos = diff_pos * adj
+    diff_vel = diff_vel * adj
+    state_vel = jnp.sum(diff_vel, axis=-1)
+    state_pos_fourth = jnp.sum(diff_pos * inv ** 2, axis=-1)
+    state_pos_sq = jnp.sum(diff_pos * inv, axis=-1)
+    return jnp.concatenate([state_vel, state_pos_fourth, state_pos_sq],
+                           axis=-2)
+
+
 def compute_differences(u: np.ndarray):
     """Pairwise differences u_i - u_j and squared distances.
 
@@ -245,9 +281,64 @@ class Flocking(Data):
     computeStates = compute_states
 
     # -- closed-loop rollout (reference dataTools.py:3166-3340) -------------
+    def _scan_rollout(self, T: int, w: int, policy):
+        """Build (and cache) a jitted lax.scan closed-loop rollout: the
+        whole T-step env+model loop is ONE compiled program (no host
+        round-trip per physics step — the reference pathology at
+        dataTools.py:3166; SURVEY.md §7 hard-parts). policy must be
+        traceable: (params, x_hist (B,w,6,N), S_hist (B,w,N,N)) ->
+        (B,w,2,N); its tap at the last window step drives the physics."""
+        import jax
+        import jax.numpy as jnp
+        key = (T, w, id(policy))
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        if key in cache:
+            return cache[key]
+        dt = self.samplingTime
+        r = self.commRadius
+        a_max = self.accelMax
+
+        def rollout(params, init_pos, init_vel):
+            B, _, N = init_pos.shape
+            S0 = _jnp_comm_graph(init_pos, r)
+            x0 = _jnp_states(init_pos, init_vel, S0)
+            xw = jnp.zeros((B, w, 6, N), init_pos.dtype).at[:, -1].set(x0)
+            Sw = jnp.zeros((B, w, N, N), init_pos.dtype).at[:, -1].set(S0)
+
+            def step(carry, _):
+                pos_t, vel_t, xw, Sw = carry
+                y = policy(params, xw, Sw)
+                a = jnp.clip(y[:, -1], -a_max, a_max)
+                vel_n = a * dt + vel_t
+                pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
+                S_n = _jnp_comm_graph(pos_n, r)
+                x_n = _jnp_states(pos_n, vel_n, S_n)
+                xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
+                Sw = jnp.concatenate([Sw[:, 1:], S_n[:, None]], axis=1)
+                return (pos_n, vel_n, xw, Sw), (pos_n, vel_n, a, x_n, S_n)
+
+            carry = (init_pos, init_vel, xw, Sw)
+            _, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
+                                                      length=T - 1)
+            # prepend t=0; accel convention matches the host loop: a from
+            # step t drives the transition into t+1 and is stored at t
+            swap = lambda z: jnp.moveaxis(z, 0, 1)
+            pos = jnp.concatenate([init_pos[:, None], swap(pos)], axis=1)
+            vel = jnp.concatenate([init_vel[:, None], swap(vel)], axis=1)
+            zero_a = jnp.zeros_like(acc[:1])
+            accel = jnp.concatenate([swap(acc), swap(zero_a)], axis=1)
+            states = jnp.concatenate([x0[:, None], swap(xs)], axis=1)
+            graphs = jnp.concatenate([S0[:, None], swap(Ss)], axis=1)
+            return pos, vel, accel, states, graphs
+
+        cache[key] = jax.jit(rollout)
+        return cache[key]
+
     def compute_trajectory(self, initPos, initVel, duration, archit=None,
                            accel=None, params=None, rng=None, doPrint=None,
-                           history_window=None):
+                           history_window=None, jit=True):
         """Roll the swarm forward. Either apply a given open-loop `accel`
         sequence, or run `archit` (params, x_hist, S_hist) -> accel closed
         loop: at each step the model sees the (zero-padded) history and its
@@ -274,6 +365,16 @@ class Flocking(Data):
                              + vel[:, t - 1] * self.samplingTime
                              + pos[:, t - 1])
             return pos, vel, accel, None, None
+
+        if history_window is not None and jit and params is not None:
+            # one compiled lax.scan for the whole closed loop (policy must
+            # be traceable and take explicit params; legacy numpy policies
+            # pass params=None and fall through to the host loop below)
+            import jax.numpy as jnp
+            roll = self._scan_rollout(T, int(history_window), archit)
+            out = roll(params, jnp.asarray(initPos, jnp.float32),
+                       jnp.asarray(initVel, jnp.float32))
+            return tuple(np.asarray(o, np.float64) for o in out)
 
         accel_out = np.zeros((B, T, 2, N))
         state_hist = np.zeros((B, T, 6, N))

@@ -460,7 +460,7 @@ class _SelectionVariant(_ArchBase):
     def __init__(self, dims, taps, taps2, bias, sigma, nSelectedNodes,
                  poolingFunction, poolingSize, readout_dims, GSO, order,
                  edge_features=None, t_max=5, act_hops=(), act_kind=None,
-                 gsoMode="dense"):
+                 gsoMode="dense", attentionMode="dense"):
         GSO = _normalize_gso(GSO)
         L = len(taps)
         sigma = resolve_activation(sigma)
@@ -473,6 +473,7 @@ class _SelectionVariant(_ArchBase):
         self.E = GSO.shape[0] if edge_features is None else edge_features
         self.order_name = order
         self.gso_mode = gsoMode
+        self.attention_mode = attentionMode
         self._build(GSO, nSelectedNodes, poolingSize)
 
     # subclass hook: extra ctx entries derived from the (permuted) GSO
@@ -490,9 +491,19 @@ class _SelectionVariant(_ArchBase):
         alpha = list(poolingSize)
         self.alpha = alpha
         pool_kind = "no_pool" if cfg["pool"] == "NoPool" else "max_local"
+        if (self.filter_kind in ("gat", "gcat", "ev_attention")
+                and getattr(self, "attention_mode", "dense") == "edge"):
+            # O(E) edge-list attention: the GSO rides as an EdgeList and
+            # the layer family dispatches to the SDDMM/segment-softmax
+            # path (no B x P x E x N x N materialization;
+            # reference pathology graphML.py:640-737)
+            from graph_neural_networks_tpu.ops import attention_sparse as asp
+            S_ctx = asp.build_edge_list(S_np)
+        else:
+            S_ctx = gso_lib.as_gso(S_np, mode=getattr(self, "gso_mode",
+                                                      "dense"))
         ctx = {
-            "S": gso_lib.as_gso(S_np, mode=getattr(self, "gso_mode",
-                                                   "dense")),
+            "S": S_ctx,
             "order_map": _identity_order_map(order, N),
             "pool_nbh": (_pool_tables(S_np, N_list, alpha, L)
                          if pool_kind == "max_local" else (None,) * L),
@@ -702,10 +713,11 @@ class GraphAttentionNetwork(_SelectionVariant):
 
     def __init__(self, dimNodeSignals, nAttentionHeads, nonlinearity,
                  nSelectedNodes, poolingFunction, poolingSize, dimLayersMLP,
-                 bias, GSO, order=None):
+                 bias, GSO, order=None, attentionMode="dense"):
         super().__init__(dimNodeSignals, nAttentionHeads, (), bias,
                          nonlinearity, nSelectedNodes, poolingFunction,
-                         poolingSize, dimLayersMLP, GSO, order)
+                         poolingSize, dimLayersMLP, GSO, order,
+                         attentionMode=attentionMode)
 
 
 class GraphConvolutionAttentionNetwork(_SelectionVariant):
@@ -714,10 +726,11 @@ class GraphConvolutionAttentionNetwork(_SelectionVariant):
 
     def __init__(self, dimNodeSignals, nFilterTaps, nAttentionHeads, bias,
                  nonlinearity, nSelectedNodes, poolingFunction, poolingSize,
-                 dimLayersMLP, GSO, order=None):
+                 dimLayersMLP, GSO, order=None, attentionMode="dense"):
         super().__init__(dimNodeSignals, nFilterTaps, nAttentionHeads, bias,
                          nonlinearity, nSelectedNodes, poolingFunction,
-                         poolingSize, dimLayersMLP, GSO, order)
+                         poolingSize, dimLayersMLP, GSO, order,
+                         attentionMode=attentionMode)
 
 
 class EdgeVariantAttention(_SelectionVariant):
@@ -727,10 +740,11 @@ class EdgeVariantAttention(_SelectionVariant):
 
     def __init__(self, dimNodeSignals, nFilterTaps, nAttentionHeads, bias,
                  nonlinearity, nSelectedNodes, poolingFunction, poolingSize,
-                 dimLayersMLP, GSO, order=None):
+                 dimLayersMLP, GSO, order=None, attentionMode="dense"):
         super().__init__(dimNodeSignals, nFilterTaps, nAttentionHeads, bias,
                          nonlinearity, nSelectedNodes, poolingFunction,
-                         poolingSize, dimLayersMLP, GSO, order)
+                         poolingSize, dimLayersMLP, GSO, order,
+                         attentionMode=attentionMode)
 
 
 # ---------------------------------------------------------------------------

@@ -186,7 +186,12 @@ def graph_attention(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
 
     Reference: graphML.py:739-809 — note the output aggregates with the
     *edge-weighted* attention S * alpha. Returns (B, P, F, N).
+    Pass an attention_sparse.EdgeList as `gso` for the O(E) edge-list path
+    (no B x P x E x N x N materialization).
     """
+    from graph_neural_networks_tpu.ops import attention_sparse as asp
+    if isinstance(gso, asp.EdgeList):
+        return asp.graph_attention_edges(x, a, W, gso, negative_slope)
     S = _dense(gso)
     aij = attention_gso(x, a, W, gso, negative_slope)
     Wx = jnp.einsum("pefg,bgn->bpefn", W, x)
@@ -200,8 +205,12 @@ def gat_lsigf(h: jnp.ndarray, x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray,
     """K-tap LSIGF over the learned attention GSO (GCAT).
 
     Reference: graphML.py:811-895. h: (E,K), x: (B,G,N), a: (P,E,2F),
-    W: (P,E,F,G) -> y: (B,P,F,N).
+    W: (P,E,F,G) -> y: (B,P,F,N). Pass an EdgeList as `gso` for the O(E)
+    edge-list path.
     """
+    from graph_neural_networks_tpu.ops import attention_sparse as asp
+    if isinstance(gso, asp.EdgeList):
+        return asp.gat_lsigf_edges(h, x, a, W, gso, b, negative_slope)
     E, K = h.shape
     P, _, F, G = W.shape
     B, _, N = x.shape
@@ -229,8 +238,11 @@ def gat_evgf(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
     """Edge-variant filter where each hop's matrix is its own attention GSO.
 
     Reference: graphML.py:897-969. a: (P,K,E,2F), W: (P,K,E,F,G) ->
-    y: (B,P,F,N).
+    y: (B,P,F,N). Pass an EdgeList as `gso` for the O(E) edge-list path.
     """
+    from graph_neural_networks_tpu.ops import attention_sparse as asp
+    if isinstance(gso, asp.EdgeList):
+        return asp.gat_evgf_edges(x, a, W, gso, b, negative_slope)
     S = _dense(gso)
     P, K, E, F, G = W.shape
     W0x = jnp.einsum("pefg,bgn->bpefn", W[:, 0], x)

@@ -71,13 +71,12 @@ def evaluate_flocking(model, data, nVideos: int = 0, **kwargs):
     init_vel = data.getData("initVel", "test")
 
     def run(m):
-        def policy(_p, x_hist, S_hist):
-            S5 = S_hist[:, :, None]
-            return np.asarray(m.archit.apply(
-                m.params, jnp.asarray(x_hist, jnp.float32),
-                jnp.asarray(S5, jnp.float32)))
+        def policy(p, x_hist, S_hist):
+            return m.archit.apply(p, jnp.asarray(x_hist, jnp.float32),
+                                  jnp.asarray(S_hist, jnp.float32))
         pos, vel, _, _, _ = data.compute_trajectory(
-            init_pos, init_vel, data.duration, archit=policy, params=None,
+            init_pos, init_vel, data.duration, archit=policy,
+            params=m.params,
             history_window=getattr(m.archit, "causal_window", None))
         full = float(data.evaluate(vel=vel))
         end = float(data.evaluate(vel=vel[:, -1:]))

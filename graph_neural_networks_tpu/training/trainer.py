@@ -374,15 +374,19 @@ class TrainerFlocking(Trainer):
 
     # -- policy + expert helpers ------------------------------------------
     def _policy(self):
-        arch = self.model.archit
-        params = self.model.params
+        """Traceable policy (params, x_hist, S_hist) -> accel: runs inside
+        the jitted lax.scan rollout (flocking._scan_rollout) when the
+        architecture has a finite causal window; also serves the host-loop
+        fallback. Built once so the rollout compile cache hits."""
+        if getattr(self, "_policy_fn", None) is None:
+            arch = self.model.archit
 
-        def fn(_params, x_hist, S_hist):
-            S5 = S_hist[:, :, None]
-            return np.asarray(arch.apply(
-                params, jnp.asarray(x_hist, jnp.float32),
-                jnp.asarray(S5, jnp.float32)))
-        return fn
+            def fn(params, x_hist, S_hist):
+                return arch.apply(params,
+                                  jnp.asarray(x_hist, jnp.float32),
+                                  jnp.asarray(S_hist, jnp.float32))
+            self._policy_fn = fn
+        return self._policy_fn
 
     def _expert_accel(self, pos, vel):
         """Optimal acceleration along a visited trajectory
@@ -418,8 +422,8 @@ class TrainerFlocking(Trainer):
                 ip = np.concatenate([ip, ip[:1].repeat(pad, 0)], 0)
                 iv = np.concatenate([iv, iv[:1].repeat(pad, 0)], 0)
             pos, vel, _, states, graphs = data.compute_trajectory(
-                ip, iv, data.duration, archit=policy, params=None,
-                history_window=window)
+                ip, iv, data.duration, archit=policy,
+                params=self.model.params, history_window=window)
             y = self._expert_accel(pos, vel)
             outs.append((states[:keep], y[:keep], graphs[:keep]))
         states = np.concatenate([o[0] for o in outs], 0)
@@ -463,6 +467,6 @@ class TrainerFlocking(Trainer):
         init_vel = data.getData("initVel", "valid")
         _, vel, _, _, _ = data.compute_trajectory(
             init_pos, init_vel, data.duration, archit=self._policy(),
-            params=None,
+            params=params,
             history_window=getattr(self.model.archit, "causal_window", None))
         return float(data.evaluate(vel=vel))

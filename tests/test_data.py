@@ -215,3 +215,37 @@ def test_flocking_closed_loop_with_dummy_controller(flock):
     assert np.all(np.isfinite(pos))
     cost = flock.evaluate(vel=vel)
     assert np.isfinite(cost)
+
+
+def test_flocking_scan_rollout_matches_host_loop():
+    """The jitted lax.scan closed-loop rollout == the host-loop rollout
+    (same policy, same initial conditions)."""
+    import jax
+    import jax.numpy as jnp
+    from graph_neural_networks_tpu.data.flocking import Flocking
+    from graph_neural_networks_tpu.models import architectures_time as archt
+
+    rng = np.random.default_rng(3)
+    data = Flocking(nAgents=12, commRadius=2.0, repelDist=1.0, nTrain=4,
+                    nValid=2, nTest=2, duration=0.5, samplingTime=0.01,
+                    rng=rng)
+    arch = archt.LocalGNN_DB([6, 8], [3], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=12, T=3)
+    w = arch.causal_window
+
+    def policy(p, x_hist, S_hist):
+        return arch.apply(p, jnp.asarray(x_hist, jnp.float32),
+                          jnp.asarray(S_hist, jnp.float32))
+
+    ip = data.getData("initPos", "test")
+    iv = data.getData("initVel", "test")
+    out_scan = data.compute_trajectory(ip, iv, data.duration, archit=policy,
+                                       params=params, history_window=w,
+                                       jit=True)
+    out_host = data.compute_trajectory(ip, iv, data.duration, archit=policy,
+                                       params=params, history_window=w,
+                                       jit=False)
+    names = ("pos", "vel", "accel", "states", "graphs")
+    for name, a, b in zip(names, out_scan, out_host):
+        np.testing.assert_allclose(a, b, atol=5e-3, rtol=5e-3,
+                                   err_msg=name)
