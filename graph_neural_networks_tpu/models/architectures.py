@@ -314,6 +314,9 @@ class _ArchBase:
         self.ctx = dict(self.ctx)
         if order != "none":
             core = self.core
+            assert "order_map" in self.ctx, \
+                "order='rcm' needs an input gather map (use order='none' " \
+                "for architectures without one, e.g. GRNNs)"
             assert getattr(core, "pool_kind", "no_pool") == "no_pool" or all(
                 t is None for t in self.ctx.get("pool_nbh", ())), \
                 "order='rcm' requires identity pooling (position-semantic " \
@@ -332,6 +335,15 @@ class _ArchBase:
             self.order = [self.order[i] for i in part.order]
         self.ctx["S"] = par.ShardedGso(mesh, part, data_axis=data_axis)
         return self
+
+
+def _make_gso(GSO, mode: str):
+    """GSO container by mode: 'dense'/'band'/'bcsr' -> ops.gso.Gso;
+    'edge' -> COO EdgeList (O(nnz) gather/segment-sum shifts)."""
+    if mode == "edge":
+        from graph_neural_networks_tpu.ops import attention_sparse as asp
+        return asp.build_edge_list(GSO)
+    return gso_lib.as_gso(GSO, mode=mode)
 
 
 def _identity_order_map(order, N):
@@ -418,8 +430,7 @@ class SelectionGNN(_ArchBase):
             self.alpha = alpha
             pool_kind = ("no_pool" if cfg["pool"] == "NoPool" else "max_local")
             ctx = {
-                "S": gso_lib.as_gso(S_np, mode=getattr(self, "gso_mode",
-                                                       "dense")),
+                "S": _make_gso(S_np, getattr(self, "gso_mode", "dense")),
                 "order_map": _identity_order_map(order, N),
                 "pool_nbh": (_pool_tables(S_np, N_list, alpha, L)
                              if pool_kind == "max_local" else (None,) * L),
@@ -500,8 +511,7 @@ class _SelectionVariant(_ArchBase):
             from graph_neural_networks_tpu.ops import attention_sparse as asp
             S_ctx = asp.build_edge_list(S_np)
         else:
-            S_ctx = gso_lib.as_gso(S_np, mode=getattr(self, "gso_mode",
-                                                      "dense"))
+            S_ctx = _make_gso(S_np, getattr(self, "gso_mode", "dense"))
         ctx = {
             "S": S_ctx,
             "order_map": _identity_order_map(order, N),
@@ -974,11 +984,13 @@ class GraphRecurrentNN(_ArchBase):
 
     def __init__(self, dimInputSignals, dimOutputSignals, dimHiddenSignals,
                  nFilterTaps, bias, nonlinearityHidden, nonlinearityOutput,
-                 nonlinearityReadout, dimReadout, GSO):
+                 nonlinearityReadout, dimReadout, GSO, gsoMode="dense"):
         GSO = _normalize_gso(GSO)
         self.order = list(range(GSO.shape[1]))
         self.H = dimHiddenSignals
-        self.ctx = {"S": gso_lib.as_gso(GSO)}
+        self.gso_mode = gsoMode
+        self._S_np = GSO
+        self.ctx = {"S": _make_gso(GSO, gsoMode)}
         self.S = self.ctx["S"]
         self.core = _GRNNCore(
             hidden_kind=self.hidden_kind, dim_in=dimInputSignals,
@@ -1021,7 +1033,8 @@ class GraphRecurrentNN(_ArchBase):
 
     def changeGSO(self, GSO):
         GSO = _normalize_gso(GSO)
-        self.ctx = {"S": gso_lib.as_gso(GSO)}
+        self._S_np = GSO
+        self.ctx = {"S": _make_gso(GSO, getattr(self, "gso_mode", "dense"))}
         self.S = self.ctx["S"]
 
     change_gso = changeGSO
@@ -1033,10 +1046,11 @@ class GatedGraphRecurrentNN(GraphRecurrentNN):
 
     def __init__(self, dimInputSignals, dimOutputSignals, dimHiddenSignals,
                  nFilterTaps, bias, nonlinearityHidden, nonlinearityOutput,
-                 nonlinearityReadout, dimReadout, GSO, gateType="time"):
+                 nonlinearityReadout, dimReadout, GSO, gateType="time",
+                 gsoMode="dense"):
         assert gateType in ("time", "node", "edge")
         self.hidden_kind = gateType
         super().__init__(dimInputSignals, dimOutputSignals, dimHiddenSignals,
                          nFilterTaps, bias, nonlinearityHidden,
                          nonlinearityOutput, nonlinearityReadout, dimReadout,
-                         GSO)
+                         GSO, gsoMode=gsoMode)

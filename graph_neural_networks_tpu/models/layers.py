@@ -494,6 +494,20 @@ class EdgeGatedHiddenState(_GatedHiddenStateBase):
         weight_i = self.param("inputGateWeight", _uniform(stdv), (1, E, 1, H))
         mixer_f = self.param("forgetGateMixer", _uniform(stdv), (1, E, 2))
         weight_f = self.param("forgetGateWeight", _uniform(stdv), (1, E, 1, H))
+        from graph_neural_networks_tpu.ops import attention_sparse as asp
+        if isinstance(S, asp.EdgeList):
+            # O(nnz) gates: attention coefficients on the support edges
+            # only, consumed by the per-edge gated SpMM in gated_grnn
+            q_hat, _ = asp.attention_coefficients_edges(
+                zhat.reshape(B * T, H, N), mixer_i, weight_i, S)
+            q_check, _ = asp.attention_coefficients_edges(
+                zcheck.reshape(B * T, H, N), mixer_f, weight_f, S)
+            q_hat = q_hat[:, 0, 0].reshape(B, T, 1, -1)
+            q_check = q_check[:, 0, 0].reshape(B, T, 1, -1)
+            z = filters.gated_grnn(a, bt, S, x, z0, self.nonlinearity,
+                                   q_hat=q_hat, q_check=q_check,
+                                   x_bias=xb, z_bias=zb, edge_gated=True)
+            return z, z[:, -1:]
         q_hat = filters.attention_gso(
             zhat.reshape(B * T, H, N), mixer_i, weight_i, S)[:, 0, 0]
         q_check = filters.attention_gso(

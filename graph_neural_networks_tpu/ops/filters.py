@@ -350,12 +350,35 @@ def _lsigf_batched_gso(h: jnp.ndarray, Sb: jnp.ndarray, x: jnp.ndarray,
     return y if b is None else y + b
 
 
+def _lsigf_batched_edges(h: jnp.ndarray, coeff: jnp.ndarray, edges,
+                         x: jnp.ndarray,
+                         b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """LSIGF where every batch row has its own per-edge gated GSO — the
+    O(nnz) equivalent of _lsigf_batched_gso for edge-gated recurrences.
+
+    h: (F,E,K,G), coeff: (R,E,nnz) gated edge weights, x: (R,G,N)
+    -> (R,F,N).
+    """
+    from graph_neural_networks_tpu.ops import attention_sparse as asp
+    F, E, K, G = h.shape
+    R, _, N = x.shape
+    xe = jnp.broadcast_to(x[:, None], (R, E, G, N))
+    zs = [xe]
+    for _ in range(1, K):
+        xe = asp.edge_shift(xe, coeff, edges)
+        zs.append(xe)
+    z = jnp.stack(zs, axis=2)                              # R x E x K x G x N
+    y = jnp.einsum("rekgn,fekg->rfn", z, h)
+    return y if b is None else y + b
+
+
 def gated_grnn(a: jnp.ndarray, b_taps: jnp.ndarray, gso, x: jnp.ndarray,
                z0: jnp.ndarray, sigma: Callable,
                q_hat: Optional[jnp.ndarray] = None,
                q_check: Optional[jnp.ndarray] = None,
                x_bias: Optional[jnp.ndarray] = None,
-               z_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               z_bias: Optional[jnp.ndarray] = None,
+               edge_gated: bool = False) -> jnp.ndarray:
     """Static-GSO gated GRNN: z_t = sigma(qhat*(A(S)x_t) + qcheck*(B(S)z_{t-1})).
 
     Gate shapes select the mode (reference graphML.py:1292-1527):
@@ -364,21 +387,38 @@ def gated_grnn(a: jnp.ndarray, b_taps: jnp.ndarray, gso, x: jnp.ndarray,
       (B,T,1,N)       -> node gate,
       (B,T,1,N,N)     -> edge gate (gates the GSO itself inside the filter).
     a: (H,E,K,F), b_taps: (H,E,K,H), S: (E,N,N), x: (B,T,F,N), z0: (B,H,N).
+
+    The ungated / time-gated / node-gated paths never densify the GSO —
+    they run through ``gshift`` and so support band/BCSR Gso layouts and
+    node-sharded ShardedGso. Only the edge-gated path (which modulates
+    individual GSO entries, reference graphML.py:1415-1431) needs the
+    dense (E,N,N) array.
     """
-    S = _dense(gso)
     H, E, K, F = a.shape
     B, T, _, N = x.shape
     xb = None if x_bias is None else x_bias.reshape(1, H, 1)
     zb = None if z_bias is None else z_bias.reshape(1, H, 1)
 
-    edge_hat = q_hat is not None and q_hat.ndim == 5
-    edge_check = q_check is not None and q_check.ndim == 5
+    from graph_neural_networks_tpu.ops import attention_sparse as asp
+    sparse_edges = edge_gated and isinstance(gso, asp.EdgeList)
+    edge_hat = q_hat is not None and (q_hat.ndim == 5 or sparse_edges)
+    edge_check = q_check is not None and (q_check.ndim == 5 or sparse_edges)
+    S = (_dense(gso) if (edge_hat or edge_check) and not sparse_edges
+         else None)
 
     # --- input-to-hidden Ax over all (b, t) at once
     if not edge_hat:
         Ax = lsigf(a, gso, x.reshape(B * T, F, N), b=xb).reshape(B, T, H, N)
         if q_hat is not None:
             Ax = q_hat * Ax
+    elif sparse_edges:
+        # per-edge gate (B,T,1,nnz) modulates the edge values in the SpMM
+        # itself — the O(nnz) form of the reference's gated-GSO semantics
+        # (graphML.py:1415-1431) with no N x N materialization
+        coeff = (q_hat.reshape(B * T, 1, -1)
+                 * gso.s_val[None])                        # BT x E x nnz
+        Ax = _lsigf_batched_edges(a, coeff, gso, x.reshape(B * T, F, N),
+                                  b=xb).reshape(B, T, H, N)
     else:
         Sb = q_hat.reshape(B * T, 1, N, N) * S[None]       # BT x E x N x N
         Ax = _lsigf_batched_gso(a, Sb, x.reshape(B * T, F, N),
@@ -392,6 +432,9 @@ def gated_grnn(a: jnp.ndarray, b_taps: jnp.ndarray, gso, x: jnp.ndarray,
             Bz = lsigf(b_taps, gso, z_prev, b=zb)
             if qc_t is not None:
                 Bz = qc_t * Bz
+        elif sparse_edges:
+            coeff_t = qc_t * gso.s_val[None]               # B x E x nnz
+            Bz = _lsigf_batched_edges(b_taps, coeff_t, gso, z_prev, b=zb)
         else:
             Sb_t = qc_t * S[None]                          # B x E x N x N
             Bz = _lsigf_batched_gso(b_taps, Sb_t, z_prev, b=zb)

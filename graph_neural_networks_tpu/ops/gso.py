@@ -175,6 +175,15 @@ def gshift(gso, x: jnp.ndarray) -> jnp.ndarray:
     if not isinstance(gso, (Gso, jnp.ndarray, np.ndarray)) \
             and hasattr(gso, "shift"):
         return gso.shift(x)
+    if hasattr(gso, "s_val") and hasattr(gso, "row"):
+        # COO edge-list container (ops.attention_sparse.EdgeList): O(nnz)
+        # gather/segment-sum shift — the CSR/COO mode of SURVEY §2.9.
+        # y[..., e, g, m] = sum over edges (n -> m) of x[..., e, g, n] *
+        # s_val[e, edge]; broadcast s_val over the G axis.
+        msg = gso.s_val[:, None, :] * x[..., gso.row]      # (..., E, G, nnz)
+        agg = jax.ops.segment_sum(jnp.moveaxis(msg, -1, 0), gso.col,
+                                  num_segments=gso.n_nodes)
+        return jnp.moveaxis(agg, 0, -1)
     if not isinstance(gso, Gso) or gso.mode == "dense":
         S = dense(gso)
         prec = None

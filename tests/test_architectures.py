@@ -246,3 +246,75 @@ def test_aggregation_gnn_db(gso):
     xt = RNG.standard_normal((B, T, 1, N)).astype(np.float32)
     y = arch.apply(params, xt, _time_S(gso))
     assert y.shape == (B, T, 2, N)
+
+
+def test_selection_gnn_edge_mode(gso, x):
+    """gsoMode='edge' (COO gather/segment-sum shifts) == dense forward."""
+    arch_d = archs.SelectionGNN([1, 4], [3], True, "relu", [N], "NoPool",
+                                [1], [5], gso)
+    params = arch_d.init(jax.random.PRNGKey(0))
+    want = np.asarray(arch_d.apply(params, x))
+    arch_e = archs.SelectionGNN([1, 4], [3], True, "relu", [N], "NoPool",
+                                [1], [5], gso, gsoMode="edge")
+    got = np.asarray(arch_e.apply(params, x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["edge", "band"])
+def test_grnn_sparse_modes_match_dense(gso, mode):
+    """GraphRecurrentNN with sparse GSO modes == dense, forward + grads."""
+    from jax.experimental.pallas import tpu as pltpu
+    import contextlib
+    xt = RNG.standard_normal((2, 4, 1, N)).astype(np.float32)
+
+    def build(m):
+        return archs.GraphRecurrentNN(1, 2, 6, [3, 3], True, "tanh", "relu",
+                                      "relu", [2], gso, gsoMode=m)
+    dense = build("dense")
+    params = dense.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(7)
+
+    def loss_of(arch):
+        def f(p):
+            return jnp.sum(arch.apply(p, xt, rng=rng) ** 2)
+        return f
+
+    l_d, g_d = jax.value_and_grad(loss_of(dense))(params)
+    cm = (pltpu.force_tpu_interpret_mode() if mode == "band"
+          else contextlib.nullcontext())
+    with cm:
+        sparse = build(mode)
+        l_s, g_s = jax.value_and_grad(loss_of(sparse))(params)
+    np.testing.assert_allclose(float(l_s), float(l_d), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("gate", ["time", "node", "edge"])
+def test_gated_grnn_edge_mode_matches_dense(gso, gate):
+    """GatedGraphRecurrentNN with gsoMode='edge' == dense for every gate
+    type — including the per-edge gated SpMM path (no N x N gate)."""
+    xt = RNG.standard_normal((2, 3, 1, N)).astype(np.float32)
+
+    def build(m):
+        return archs.GatedGraphRecurrentNN(1, 2, 5, [2, 2], True, "tanh",
+                                           "relu", "relu", [2], gso,
+                                           gateType=gate, gsoMode=m)
+    dense = build("dense")
+    params = dense.init(jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(3)
+
+    def loss_of(arch):
+        def f(p):
+            return jnp.sum(arch.apply(p, xt, rng=rng) ** 2)
+        return f
+
+    l_d, g_d = jax.value_and_grad(loss_of(dense))(params)
+    l_e, g_e = jax.value_and_grad(loss_of(build("edge")))(params)
+    np.testing.assert_allclose(float(l_e), float(l_d), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_e)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-3, rtol=2e-3)
