@@ -655,14 +655,27 @@ class _EdgeVariantMixin:
     filter_kind = "edge_variant"
 
     def _extra_ctx(self, S_np, N_list):
-        ident, _ = gt.ev_sparsity_pattern(S_np, None)
+        edge_mode = getattr(self, "ev_mode", "dense") == "edge"
         patterns = []
         idents = None
         for M in self._cfg["taps2"]:
             ide, pat = gt.ev_sparsity_pattern(S_np, M)
-            patterns.append(jnp.asarray(pat, jnp.float32))
-            if idents is None:
-                idents = jnp.asarray(ide, jnp.float32)
+            if edge_mode:
+                # edge-list support: union over E, with a per-E validity
+                # mask so edge features keep their own patterns
+                support = pat.sum(0) > 0
+                row, col = np.nonzero(support)
+                valid = pat[:, row, col]
+                patterns.append((jnp.asarray(row, jnp.int32),
+                                 jnp.asarray(col, jnp.int32),
+                                 jnp.asarray(valid, jnp.float32)))
+                if idents is None:
+                    idents = jnp.asarray(
+                        np.einsum("enn->en", ide), jnp.float32)
+            else:
+                patterns.append(jnp.asarray(pat, jnp.float32))
+                if idents is None:
+                    idents = jnp.asarray(ide, jnp.float32)
         return {"ev_identity": idents, "ev_pattern": tuple(patterns)}
 
 
@@ -672,7 +685,8 @@ class EdgeVariantGNN(_EdgeVariantMixin, _SelectionVariant):
 
     def __init__(self, dimNodeSignals, nShiftTaps, nFilterNodes, bias,
                  nonlinearity, nSelectedNodes, poolingFunction, poolingSize,
-                 dimLayersMLP, GSO, order=None):
+                 dimLayersMLP, GSO, order=None, evMode="dense"):
+        self.ev_mode = evMode
         super().__init__(dimNodeSignals, nShiftTaps, nFilterNodes, bias,
                          nonlinearity, nSelectedNodes, poolingFunction,
                          poolingSize, dimLayersMLP, GSO, order)
@@ -685,7 +699,8 @@ class LocalEdgeNet(_EdgeVariantMixin, _SelectionVariant):
 
     def __init__(self, dimNodeSignals, nShiftTaps, nFilterNodes, bias,
                  nonlinearity, nSelectedNodes, poolingFunction, poolingSize,
-                 dimReadout, GSO, order=None):
+                 dimReadout, GSO, order=None, evMode="dense"):
+        self.ev_mode = evMode
         super().__init__(dimNodeSignals, nShiftTaps, nFilterNodes, bias,
                          nonlinearity, nSelectedNodes, poolingFunction,
                          poolingSize, dimReadout, GSO, order)

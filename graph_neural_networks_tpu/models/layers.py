@@ -169,6 +169,31 @@ class EdgeVariantGF(nn.Module):
                             self.shift_taps, self.selected_nodes,
                             self.n_nodes, self.edge_features)
         stdv = 1.0 / np.sqrt(G * K * N)
+        if isinstance(shift_mask, (tuple, list)):
+            # edge-list parameterization: weights live on the support edges
+            # (O(nnz) params instead of O(N^2); SURVEY §7). identity_mask
+            # is the (E, N) hybrid diagonal; shift_mask = (row, col,
+            # valid (E, nnz)).
+            row, col, valid = shift_mask
+            b = (self.param("bias", _uniform(stdv), (F, 1))
+                 if self.use_bias else None)
+            w0 = self.param("weightEV0", _uniform(stdv), (F, E, G, N)) \
+                * identity_mask[None, :, None, :]
+            wk = None
+            if K > 1:
+                nnz = row.shape[0]
+                wk = self.param("weightEVk", _uniform(stdv),
+                                (F, E, K - 1, G, nnz)) \
+                    * valid[None, :, None, None, :]
+
+            def run_e(xp):
+                u = filters.evgf_edges(w0, wk, row, col, xp, b)
+                if M < N:
+                    wLSI = self.param("weightLSI", _uniform(stdv),
+                                      (F, E, K, G))
+                    u = u + filters.lsigf(wLSI, S, xp, b)
+                return u
+            return _pad_slice(run_e)(x, N)
         wEV = self.param("weightEV", _uniform(stdv), (F, E, K, G, N, N))
         b = (self.param("bias", _uniform(stdv), (F, 1))
              if self.use_bias else None)

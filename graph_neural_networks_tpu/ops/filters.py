@@ -105,6 +105,32 @@ def evgf(Phi: jnp.ndarray, x: jnp.ndarray,
     return y if b is None else y + b
 
 
+def evgf_edges(w0: jnp.ndarray, wk: Optional[jnp.ndarray],
+               row: jnp.ndarray, col: jnp.ndarray, x: jnp.ndarray,
+               b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Edge-variant filter with weights living ON THE EDGES — the O(nnz)
+    re-derivation of `evgf` demanded by SURVEY §7 (the reference keeps
+    masked dense (F,E,K,G,N,N) weights, graphML.py:389-488).
+
+    w0: (F,E,G,N) diagonal taps (k=0 has identity support);
+    wk: (F,E,K-1,G,nnz) per-edge taps on the (row, col) support, or None
+    when K == 1; column-vector convention — the tap on edge (row i, col j)
+    sends v[j] into output i.  x: (B,G,N) -> y: (B,F,N).
+    """
+    v = w0[None] * x[:, None, None]                       # B,F,E,G,N
+    acc = v
+    if wk is not None:
+        N = w0.shape[-1]
+        for k in range(wk.shape[2]):
+            msg = wk[None, :, :, k] * v[..., col]         # B,F,E,G,nnz
+            agg = jax.ops.segment_sum(jnp.moveaxis(msg, -1, 0), row,
+                                      num_segments=N)
+            v = jnp.moveaxis(agg, 0, -1)
+            acc = acc + v
+    y = jnp.einsum("bfegn->bfn", acc)
+    return y if b is None else y + b
+
+
 def jarma(psi: jnp.ndarray, varphi: jnp.ndarray, phi: jnp.ndarray, gso,
           x: jnp.ndarray, b: Optional[jnp.ndarray] = None,
           t_max: int = 5) -> jnp.ndarray:

@@ -318,3 +318,66 @@ def test_gated_grnn_edge_mode_matches_dense(gso, gate):
                     jax.tree_util.tree_leaves(g_e)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_edge_variant_edge_mode_matches_dense(gso, x):
+    """EdgeVariantGF with edge-list weights (O(nnz) params) == the masked
+    dense (F,E,K,G,N,N) layout, with the edge params scattered into the
+    dense layout."""
+    from graph_neural_networks_tpu.models import layers as gll
+    from graph_neural_networks_tpu.ops import gso as gso_lib
+    from graph_neural_networks_tpu.utils import graph as gtl
+    F, G, K, M = 3, 1, 3, N  # full edge-variant (no hybrid part)
+    S = gso[None] if gso.ndim == 2 else gso
+    E = S.shape[0]
+    ide, pat = gtl.ev_sparsity_pattern(S, M)
+    support = pat.sum(0) > 0
+    row, col = np.nonzero(support)
+    valid = pat[:, row, col]
+    diag = np.einsum("enn->en", ide)
+
+    layer_e = gll.EdgeVariantGF(G, F, K, M, N, E, True)
+    pe = layer_e.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                      gso_lib.as_gso(S), jnp.asarray(diag, jnp.float32),
+                      (jnp.asarray(row, np.int32), jnp.asarray(col, np.int32),
+                       jnp.asarray(valid, jnp.float32)))
+    y_e = layer_e.apply(pe, jnp.asarray(x), gso_lib.as_gso(S),
+                        jnp.asarray(diag, jnp.float32),
+                        (jnp.asarray(row, np.int32),
+                         jnp.asarray(col, np.int32),
+                         jnp.asarray(valid, jnp.float32)))
+
+    # scatter the edge params into the dense layout
+    w0 = np.asarray(pe["params"]["weightEV0"])        # F,E,G,N
+    wk = np.asarray(pe["params"]["weightEVk"])        # F,E,K-1,G,nnz
+    bias = np.asarray(pe["params"]["bias"])
+    wEV = np.zeros((F, E, K, G, N, N), np.float32)
+    wEV[:, :, 0, :, np.arange(N), np.arange(N)] = \
+        np.moveaxis(w0, -1, 0)                        # N,F,E,G at diag
+    for k in range(K - 1):
+        wEV[:, :, k + 1, :, row, col] = np.moveaxis(wk[:, :, k], -1, 0)
+    layer_d = gll.EdgeVariantGF(G, F, K, M, N, E, True)
+    pd = {"params": {"weightEV": jnp.asarray(wEV),
+                     "bias": jnp.asarray(bias)}}
+    y_d = layer_d.apply(pd, jnp.asarray(x), gso_lib.as_gso(S),
+                        jnp.asarray(ide, jnp.float32),
+                        jnp.asarray(pat, jnp.float32))
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_d),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_edge_variant_gnn_edge_mode(gso, x):
+    """EdgeVariantGNN(evMode='edge') end-to-end: O(nnz) parameter count,
+    finite forward, gradients flow."""
+    arch = archs.EdgeVariantGNN([1, 4], [3], [N], True, "relu", [N],
+                                "NoPool", [1], [5], gso, evMode="edge")
+    params = arch.init(jax.random.PRNGKey(0))
+    n_par = arch.parameter_count(params)
+    nnz = int((np.abs(gso) + np.eye(N) > 1e-9).sum())
+    assert n_par < 4 * 1 * 3 * (nnz + N) + 1000  # O(nnz), not O(N^2)*K
+    y = arch.apply(params, x)
+    assert y.shape == (B, 5) and np.all(np.isfinite(np.asarray(y)))
+    g = jax.grad(lambda p: jnp.sum(arch.core.apply(
+        p, jnp.asarray(x), arch.ctx)[0] ** 2))(params)
+    assert all(np.all(np.isfinite(np.asarray(le)))
+               for le in jax.tree_util.tree_leaves(g))
