@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--saveDir", default="experiments/sourceloc")
+    ap.add_argument("--graphType", default="SBM",
+                    choices=["SBM", "SmallWorld", "FacebookEgo"],
+                    help="reference sourceLocGNN.py:67 graph variants")
+    ap.add_argument("--fbDataDir",
+                    default="/root/reference/datasets/facebookEgo")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -43,9 +48,25 @@ def main():
         nTrain, nValid, nTest, nEpochs, batch = 8000, 200, 200, 40, 100
         F, K, pool, mlp = [1, 32, 32], [5, 5], [10, 10], [C]
 
-    print(f"== Source localization: SBM N={N}, {C} communities ==")
-    G = gt.Graph("SBM", N, {"nCommunities": C, "probIntra": 0.8,
-                            "probInter": 0.2}, rng=rng)
+    if args.graphType == "FacebookEgo":
+        # reference sourceLocGNN.py:558-640: real 234-node 2-community
+        # ego graph; sources = one high-degree node per community
+        from graph_neural_networks_tpu.data.datasets import FacebookEgo
+        W = FacebookEgo(data_dir=args.fbDataDir).getAdjacencyMatrix()
+        N, C = W.shape[0], 2
+        pool = [N // 2, N // 4]
+        mlp = [C]
+        G = gt.Graph("adjacency", N, {"adjacencyMatrix": W})
+        print(f"== Source localization: FacebookEgo N={N}, {C} "
+              f"communities ==")
+    elif args.graphType == "SmallWorld":
+        G = gt.Graph("SmallWorld", N, {"probEdge": 5.0 / N,
+                                       "probRewiring": 0.1}, rng=rng)
+        print(f"== Source localization: SmallWorld N={N} ==")
+    else:
+        print(f"== Source localization: SBM N={N}, {C} communities ==")
+        G = gt.Graph("SBM", N, {"nCommunities": C, "probIntra": 0.8,
+                                "probInter": 0.2}, rng=rng)
     G.compute_gft()
     S = G.W / np.max(np.diag(G.E).real)               # S = W / lambda_max
     sources = gt.compute_source_nodes(G.A, C)

@@ -78,6 +78,7 @@ class Authorship(DataForClassification):
         if loaded is None:
             loaded = self._synthesize(rng, nWords, nExcerpts, nSynthAuthors,
                                       authorName)
+        self.functionWords = loaded.pop("_functionWords", None)
         self.authorData = loaded
         author = loaded[authorName]
         others = {k: v for k, v in loaded.items() if k != authorName}
@@ -107,20 +108,103 @@ class Authorship(DataForClassification):
         self.astype(dataType)
 
     def _load(self, data_dir):
-        path = os.path.join(data_dir, "authorshipData.mat")
+        """Parse `authorshipData.mat` in the reference's on-disk layout
+        (dataTools.py:834-886): keys 'all_authors' (cell of author-name
+        chars), 'all_freqs' (cell of 1 x nWords x nData), 'all_wans'
+        (cell of nWords x nWords x nData), 'function_words'. Handles both
+        MATLAB v5 (scipy.io) and v7.3/HDF5 (h5py) containers — the
+        reference uses hdf5storage, unavailable here."""
+        path = data_dir if os.path.isfile(data_dir) \
+            else os.path.join(data_dir, "authorshipData.mat")
         if not os.path.exists(path):
             return None
-        import hdf5storage
-        raw = hdf5storage.loadmat(path)
+        try:
+            import scipy.io
+            raw = scipy.io.loadmat(path)
+            return self._parse_reference_mat(raw)
+        except NotImplementedError:
+            return self._parse_reference_mat73(path)
+
+    @staticmethod
+    def _unwrap_str(x) -> str:
+        while isinstance(x, np.ndarray):
+            if x.size == 0:
+                return ""
+            x = x.flat[0]
+        return str(x)
+
+    @classmethod
+    def _parse_reference_mat(cls, raw):
+        if "all_authors" not in raw:
+            return None
+        names = [cls._unwrap_str(a)
+                 for a in np.asarray(raw["all_authors"]).flatten()]
+        freqs = np.asarray(raw["all_freqs"]).flatten()
+        wans = np.asarray(raw["all_wans"]).flatten()
         out = {}
-        for key in raw:
-            if key.startswith("wordFreq"):
-                name = key[len("wordFreq"):]
-                out.setdefault(name, {})["wordFreq"] = np.asarray(raw[key])
-            elif key.startswith("WAN"):
-                name = key[len("WAN"):]
-                out.setdefault(name, {})["WAN"] = np.asarray(raw[key])
-        return out or None
+        for i, name in enumerate(names):
+            f = np.asarray(freqs[i], np.float64)
+            if f.ndim == 3:                    # 1 x nWords x nData
+                f = f.squeeze(0)
+            f = f.T                            # nData x nWords
+            w = np.asarray(wans[i], np.float64)
+            w = w.transpose(2, 0, 1)           # nData x nWords x nWords
+            out[name] = {"wordFreq": f, "WAN": w}
+        if "function_words" in raw:
+            out["_functionWords"] = [
+                cls._unwrap_str(wd)
+                for wd in np.asarray(raw["function_words"]).flatten()]
+        return out
+
+    @classmethod
+    def _parse_reference_mat73(cls, path):
+        """MATLAB v7.3 = HDF5: cell arrays are datasets of object refs,
+        char arrays are uint16 codepoints, everything transposed
+        (column-major)."""
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            def deref(x):
+                # follow reference chains down to concrete arrays
+                if isinstance(x, h5py.Reference):
+                    return deref(f[x])
+                arr = np.asarray(x)
+                if arr.dtype.kind == "O":      # dataset of object refs
+                    items = [deref(r) for r in arr.flatten()]
+                    return items if len(items) != 1 else items[0]
+                return arr
+
+            def as_str(a):
+                while isinstance(a, list):
+                    a = a[0]
+                a = np.asarray(a)
+                if a.dtype.kind in ("u", "i"):
+                    return "".join(chr(int(c)) for c in a.flatten())
+                return cls._unwrap_str(a)
+
+            def cell(name):
+                items = deref(f[name])
+                return items if isinstance(items, list) else [items]
+
+            names = [as_str(c) for c in cell("all_authors")]
+            freqs = cell("all_freqs")
+            wans = cell("all_wans")
+            out = {}
+            for i, name in enumerate(names):
+                # HDF5 stores matlab arrays with reversed axes
+                fq = np.asarray(freqs[i], np.float64)
+                fq = fq.transpose(tuple(reversed(range(fq.ndim))))
+                if fq.ndim == 3:               # back to 1 x nWords x nData
+                    fq = fq.squeeze(0)
+                fq = fq.T
+                w = np.asarray(wans[i], np.float64)
+                w = w.transpose(tuple(reversed(range(w.ndim))))
+                w = w.transpose(2, 0, 1)
+                out[name] = {"wordFreq": fq, "WAN": w}
+            if "function_words" in f:
+                out["_functionWords"] = [as_str(c)
+                                         for c in cell("function_words")]
+            return out
 
     @staticmethod
     def _synthesize(rng, nWords, nExcerpts, nAuthors, authorName):
