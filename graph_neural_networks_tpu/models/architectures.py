@@ -155,6 +155,7 @@ class _ConvCore(nn.Module):
     edge_features: int = 1
     t_max: int = 5
     coarsening: bool = False
+    pool_alpha: tuple = ()        # per-layer coarsening pooling sizes
 
     def _filter(self, l: int, x, ctx):
         F, K, E, bias = self.dims, self.taps, self.edge_features, self.use_bias
@@ -210,7 +211,13 @@ class _ConvCore(nn.Module):
             return x
         if self.pool_kind == "coarsen":
             B, F, N = x.shape
-            alpha = 2
+            # per-layer pooling size over the binary-tree node order; a
+            # power of 2 consumes log2(alpha) coarsening levels at once
+            # (nested groups are consecutive, so one max over alpha nodes
+            # equals log2(alpha) pairwise poolings)
+            alpha = self.pool_alpha[l] if self.pool_alpha else 2
+            if alpha <= 1:
+                return x
             return jnp.max(x.reshape(B, F, N // alpha, alpha), axis=-1)
         n_in, n_out = self.n_nodes[l], self.n_nodes[l + 1]
         if n_in == n_out and ctx["pool_nbh"][l] is None:
@@ -399,11 +406,28 @@ class SelectionGNN(_ArchBase):
         L = len(cfg["taps"])
         E = self.E
         if self.coarsening:
-            graphs, order = gt.coarsen(GSO[0], levels=L, rng=rng)
+            # honor per-layer poolingSize (powers of 2): layer l consumes
+            # log2(alpha_l) binary coarsening levels (the reference forces
+            # alpha=2 regardless of poolingSize, architectures.py:246-248
+            # — a documented divergence)
+            alpha = [int(a) for a in (poolingSize or [2] * L)]
+            assert len(alpha) == L, (alpha, L)
+            k_levels = []
+            for a in alpha:
+                k = max(int(round(math.log2(a))), 0) if a > 1 else 0
+                assert 2 ** k == a or a == 1, \
+                    f"coarsening poolingSize must be a power of 2, got {a}"
+                k_levels.append(k)
+            total = sum(k_levels)
+            self.alpha = alpha
+            graphs, order = gt.coarsen(GSO[0], levels=total, rng=rng)
+            if order is None:                 # total == 0: no pooling at all
+                order = list(range(graphs[0].shape[0]))
             self.order = order
-            N_list = [g.shape[0] for g in graphs]
-            S_levels = [jnp.asarray(g.todense(), jnp.float32)[None]
-                        for g in graphs[:L]]
+            offs = np.concatenate([[0], np.cumsum(k_levels)])
+            N_list = [graphs[o].shape[0] for o in offs]
+            S_levels = [jnp.asarray(graphs[o].todense(), jnp.float32)[None]
+                        for o in offs[:L]]
             N0_orig = GSO.shape[1]
             order_map = np.full(N_list[0], -1, np.int64)
             for slot, src in enumerate(order):
@@ -419,7 +443,7 @@ class SelectionGNN(_ArchBase):
                 taps2=(), n_nodes=tuple(N_list), sigma=cfg["sigma"],
                 pool_kind="coarsen", readout_dims=cfg["mlp"],
                 readout_kind="mlp", use_bias=cfg["bias"], edge_features=E,
-                coarsening=True)
+                coarsening=True, pool_alpha=tuple(alpha))
         else:
             S_np, order = gt.permutation_by_name(self.order_name)(GSO)
             self.order = order

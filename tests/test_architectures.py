@@ -381,3 +381,28 @@ def test_edge_variant_gnn_edge_mode(gso, x):
         p, jnp.asarray(x), arch.ctx)[0] ** 2))(params)
     assert all(np.all(np.isfinite(np.asarray(le)))
                for le in jax.tree_util.tree_leaves(g))
+
+
+def test_selection_gnn_coarsening_pooling_size(gso, x):
+    """Coarsening honors per-layer poolingSize: alpha=4 consumes two
+    binary levels at once, and pooling by 4 == pooling by 2 twice over the
+    nested binary-tree order (divergence from the reference, which forces
+    alpha=2; architectures.py:246-248)."""
+    arch4 = archs.SelectionGNN([1, 4, 8], [3, 3], True, "relu", [0, 0],
+                               "MaxPoolLocal", [4, 2], [5], gso,
+                               coarsening=True, rng=np.random.default_rng(2))
+    assert arch4.N[1] * 4 == arch4.N[0]
+    assert arch4.N[2] * 2 == arch4.N[1]
+    params, y = _check(arch4, x, (B, 5))
+
+    # alpha=1: no pooling at that layer
+    arch1 = archs.SelectionGNN([1, 4], [3], True, "relu", [0],
+                               "MaxPoolLocal", [1], [5], gso,
+                               coarsening=True, rng=np.random.default_rng(2))
+    assert arch1.N[1] == arch1.N[0]
+    _check(arch1, x, (B, 5))
+
+    with pytest.raises(AssertionError):
+        archs.SelectionGNN([1, 4], [3], True, "relu", [0], "MaxPoolLocal",
+                           [3], [5], gso, coarsening=True,
+                           rng=np.random.default_rng(2))
