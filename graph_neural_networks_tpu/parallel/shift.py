@@ -87,6 +87,8 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
     fwd = [(i, i + 1) for i in range(n_dev - 1)]
     bwd = [(i + 1, i) for i in range(n_dev - 1)]
 
+    w, nbl, ibs = part.w, part.nbl, part.inner_bs
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(data_axis, None, None, axis),
@@ -94,13 +96,27 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
         out_specs=P(data_axis, None, None, axis))
     def _shift(x_blk, slab_blk):
         # x_blk: (L, E, G, bs); slab_blk: (1, E, nbl, W, ibs, ibs)
-        if halo > 0:
-            from_left = jax.lax.ppermute(x_blk[..., -halo:], axis, fwd)
-            from_right = jax.lax.ppermute(x_blk[..., :halo], axis, bwd)
+        slab = slab_blk[0]
+        if halo == 0:
+            return _band_contract(x_blk, slab)
+        from_left = jax.lax.ppermute(x_blk[..., -halo:], axis, fwd)
+        from_right = jax.lax.ppermute(x_blk[..., :halo], axis, bwd)
+        if nbl <= 2 * w:
             x_ext = jnp.concatenate([from_left, x_blk, from_right], axis=-1)
-        else:
-            x_ext = x_blk
-        return _band_contract(x_ext, slab_blk[0])
+            return _band_contract(x_ext, slab)
+        # Overlap halo exchange with compute: interior output blocks
+        # [w, nbl-w) read only local x, so their contraction carries no
+        # data dependency on the ppermutes — XLA's latency-hiding
+        # scheduler runs it while the halos are in flight. Only the w
+        # boundary blocks at each end wait for their neighbor.
+        y_int = _band_contract(x_blk, slab[:, w:nbl - w])
+        x_lo = jnp.concatenate(
+            [from_left, x_blk[..., :2 * w * ibs]], axis=-1)
+        y_lo = _band_contract(x_lo, slab[:, :w])
+        x_hi = jnp.concatenate(
+            [x_blk[..., -(2 * w) * ibs:], from_right], axis=-1)
+        y_hi = _band_contract(x_hi, slab[:, nbl - w:])
+        return jnp.concatenate([y_lo, y_int, y_hi], axis=-1)
 
     return _with_flat_leading(lambda xf: _shift(xf, slabs))
 

@@ -257,3 +257,33 @@ def test_large_graph_no_dense(mesh):
     want = (scipy.sparse.csr_matrix(part.S_csr[0]).T @ x[0, 0, 0]).astype(
         np.float32)
     np.testing.assert_allclose(got[0, 0, 0], want, atol=1e-3, rtol=1e-3)
+
+
+def test_overlap_split_path_gradients(mesh):
+    """The overlapped (interior/boundary split) ring shift: forward and
+    VJP match the scipy oracle on a graph wide enough that nbl > 2w."""
+    import scipy.sparse
+    N = 4096
+    rng = np.random.default_rng(11)
+    k = 3
+    rows = np.repeat(np.arange(N), k)
+    cols = np.clip(rows + rng.integers(-100, 101, size=N * k), 0, N - 1)
+    vals = rng.random(N * k)
+    A = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(N, N))
+    part = par.partition_nodes(A, 8, order="none")
+    assert part.nbl > 2 * part.w, (part.nbl, part.w)  # split path engaged
+    sgso = par.ShardedGso(mesh, part)
+    assert sgso.uses_ring
+    x = rng.random((2, 1, 1, part.n_padded)).astype(np.float32)
+    ct = rng.random((2, 1, 1, part.n_padded)).astype(np.float32)
+
+    with mesh:
+        y, vjp = jax.vjp(sgso.shift, jnp.asarray(x))
+        (dx,) = vjp(jnp.asarray(ct))
+        y, dx = np.asarray(y), np.asarray(dx)
+    S = scipy.sparse.csr_matrix(part.S_csr[0])
+    for b in range(2):
+        np.testing.assert_allclose(y[b, 0, 0], S.T @ x[b, 0, 0],
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(dx[b, 0, 0], S @ ct[b, 0, 0],
+                                   atol=1e-3, rtol=1e-3)
