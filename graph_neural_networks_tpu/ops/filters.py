@@ -150,21 +150,26 @@ def jarma(psi: jnp.ndarray, varphi: jnp.ndarray, phi: jnp.ndarray, gso,
                       - psi[..., None])                   # F x E x P x G x N
     # (Sbar^{-1} x): diagonal scaling of x
     sbar_inv_x = jnp.einsum("fepgn,bgn->bfepgn", sbar_inv, x)
-    # M = Sbar^{-1} Stilde: rows of Stilde scaled by the inverse diagonal
-    M = jnp.einsum("fepgn,enm->fepgnm", sbar_inv, Stilde)
+
+    # M = Sbar^{-1} Stilde is NEVER materialized (it would be
+    # F x E x P x G x N x N — the round-1 memory blowup): applying M is
+    # one shared (E,N,N) contraction followed by the diagonal scaling.
+    def apply_M(v):
+        sv = jnp.einsum("enm,bfepgm->bfepgn", Stilde, v)
+        return sbar_inv[None] * sv
 
     # H1: sum_tau (-1)^tau varphi M^tau (Sbar^{-1} x)
     v = sbar_inv_x
     h1 = jnp.einsum("fepg,bfepgn->bpfn", varphi, v)
     sign = -1.0
     for _ in range(1, t_max + 1):
-        v = jnp.einsum("fepgnm,bfepgm->bfepgn", M, v)
+        v = apply_M(v)
         h1 = h1 + sign * jnp.einsum("fepg,bfepgn->bpfn", varphi, v)
         sign = -sign
     # H2: (-1)^{t_max+1} M^{t_max+1} x
     y = jnp.broadcast_to(x[:, None, None, None], (B, F, E, P, G, N))
     for _ in range(t_max + 1):
-        y = jnp.einsum("fepgnm,bfepgm->bfepgn", M, y)
+        y = apply_M(y)
     h2_sign = -1.0 if t_max % 2 == 0 else 1.0
     h2 = h2_sign * jnp.einsum("bfepgn->bpfn", y)
     # H3: plain LSIGF residue
