@@ -526,14 +526,21 @@ class _SelectionVariant(_ArchBase):
         alpha = list(poolingSize)
         self.alpha = alpha
         pool_kind = "no_pool" if cfg["pool"] == "NoPool" else "max_local"
+        attn_mode = getattr(self, "attention_mode", "dense")
         if (self.filter_kind in ("gat", "gcat", "ev_attention")
-                and getattr(self, "attention_mode", "dense") == "edge"):
+                and attn_mode == "edge"):
             # O(E) edge-list attention: the GSO rides as an EdgeList and
             # the layer family dispatches to the SDDMM/segment-softmax
             # path (no B x P x E x N x N materialization;
             # reference pathology graphML.py:640-737)
             from graph_neural_networks_tpu.ops import attention_sparse as asp
             S_ctx = asp.build_edge_list(S_np)
+        elif (self.filter_kind in ("gat", "gcat", "ev_attention")
+                and attn_mode == "band"):
+            # banded block attention (ops.attention_band): dense-tile
+            # SDDMM + band softmax + band aggregation — pair with
+            # order='RCM' to keep the band narrow
+            S_ctx = gso_lib.as_gso(S_np, mode="band")
         else:
             S_ctx = _make_gso(S_np, getattr(self, "gso_mode", "dense"))
         ctx = {

@@ -182,6 +182,12 @@ def jarma(psi: jnp.ndarray, varphi: jnp.ndarray, phi: jnp.ndarray, gso,
 # Attention (GAT family)
 # ---------------------------------------------------------------------------
 
+def _slab5(gso):
+    """A band-mode Gso's slab as (E, nb, W, ibs, ibs)."""
+    E, nb, Wibs, ibs = gso.s_band.shape
+    return gso.s_band.reshape(E, nb, Wibs // ibs, ibs, ibs)
+
+
 def attention_gso(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
                   negative_slope: float = 0.2) -> jnp.ndarray:
     """Learn the attention GSO alpha_ij (GAT coefficients).
@@ -223,6 +229,10 @@ def graph_attention(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
     from graph_neural_networks_tpu.ops import attention_sparse as asp
     if isinstance(gso, asp.EdgeList):
         return asp.graph_attention_edges(x, a, W, gso, negative_slope)
+    if isinstance(gso, gso_lib.Gso) and gso.mode == "band":
+        from graph_neural_networks_tpu.ops import attention_band as ab
+        return ab.graph_attention_band(x, a, W, _slab5(gso), gso.band_w,
+                                       negative_slope=negative_slope)
     S = _dense(gso)
     aij = attention_gso(x, a, W, gso, negative_slope)
     Wx = jnp.einsum("pefg,bgn->bpefn", W, x)
@@ -242,6 +252,10 @@ def gat_lsigf(h: jnp.ndarray, x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray,
     from graph_neural_networks_tpu.ops import attention_sparse as asp
     if isinstance(gso, asp.EdgeList):
         return asp.gat_lsigf_edges(h, x, a, W, gso, b, negative_slope)
+    if isinstance(gso, gso_lib.Gso) and gso.mode == "band":
+        from graph_neural_networks_tpu.ops import attention_band as ab
+        return ab.gat_lsigf_band(h, x, a, W, _slab5(gso), gso.band_w, b,
+                                 negative_slope)
     E, K = h.shape
     P, _, F, G = W.shape
     B, _, N = x.shape
@@ -274,6 +288,10 @@ def gat_evgf(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
     from graph_neural_networks_tpu.ops import attention_sparse as asp
     if isinstance(gso, asp.EdgeList):
         return asp.gat_evgf_edges(x, a, W, gso, b, negative_slope)
+    if isinstance(gso, gso_lib.Gso) and gso.mode == "band":
+        from graph_neural_networks_tpu.ops import attention_band as ab
+        return ab.gat_evgf_band(x, a, W, _slab5(gso), gso.band_w, b,
+                                negative_slope)
     S = _dense(gso)
     P, K, E, F, G = W.shape
     W0x = jnp.einsum("pefg,bgn->bpefn", W[:, 0], x)

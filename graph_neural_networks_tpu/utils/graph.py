@@ -482,12 +482,28 @@ def perm_eds(S):
     return _apply_order(Sb, order, squeeze), order.tolist()
 
 
+def perm_rcm(S):
+    """Reverse-Cuthill-McKee ordering (bandwidth minimization). Not in
+    the reference; added so banded kernels (gsoMode='band',
+    attentionMode='band') stay narrow — selection pooling semantics
+    change under it like under any ordering."""
+    import scipy.sparse
+    import scipy.sparse.csgraph
+    Sb, squeeze = _as_batched(S)
+    A = scipy.sparse.csr_matrix(
+        (np.abs(Sb).sum(axis=0) > ZERO_TOL).astype(float))
+    order = np.asarray(scipy.sparse.csgraph.reverse_cuthill_mckee(
+        A, symmetric_mode=False))
+    return _apply_order(Sb, order, squeeze), order.tolist()
+
+
 _PERMS = {
     None: perm_identity,
     "Identity": perm_identity,
     "Degree": perm_degree,
     "SpectralProxies": perm_spectral_proxies,
     "EDS": perm_eds,
+    "RCM": perm_rcm,
 }
 
 
