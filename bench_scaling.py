@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--rows", type=int, default=256)
     ap.add_argument("--taps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="also append results to this JSON file")
     args = ap.parse_args()
     if args.cpu:
         import os
@@ -56,6 +58,7 @@ def main():
     S[ii[ok], jj[ok]] = rng.random(ok.sum())
     nnz = int((S != 0).sum())
 
+    results = []
     base_rate = None
     for nd in counts:
         mesh = par.make_mesh((1, nd), devices=jax.devices()[:nd])
@@ -84,14 +87,19 @@ def main():
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * nd)
-        print(json.dumps({
+        rec = {
             "metric": "sharded_lsigf_edges_per_s",
             "devices": nd,
             "value": rate,
             "unit": f"edges/s (N={N}, nnz={nnz}, K={K}, R={R}, "
                     f"ring={part.is_ring}, {dt*1e3:.2f}ms)",
             "vs_baseline": eff,
-        }))
+        }
+        results.append(rec)
+        print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

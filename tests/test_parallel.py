@@ -287,3 +287,23 @@ def test_overlap_split_path_gradients(mesh):
                                    atol=1e-3, rtol=1e-3)
         np.testing.assert_allclose(dx[b, 0, 0], S @ ct[b, 0, 0],
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_multihost_helpers_single_process(mesh):
+    """Multi-host bring-up helpers degrade correctly on one process with
+    the 8-device virtual mesh (the slicing/mesh logic is what a pod
+    run depends on)."""
+    from graph_neural_networks_tpu.parallel import multihost as mh
+    info = mh.initialize_multihost()        # no-op single-process
+    assert info["process_count"] == 1 and info["process_index"] == 0
+    assert info["devices"] == info["local_devices"] == 8
+
+    m = mh.make_pod_mesh()                  # graph axis = all local devices
+    assert m.shape["graph"] == 8 and m.shape["data"] == 1
+    m2 = mh.make_pod_mesh(graph_parallelism=4)
+    assert m2.shape["graph"] == 4 and m2.shape["data"] == 2
+    with pytest.raises(AssertionError):
+        mh.make_pod_mesh(graph_parallelism=3)
+
+    sl = mh.per_host_batch_slice(64)
+    assert sl == slice(0, 64)
