@@ -29,7 +29,14 @@ class SourceLocalization(DataForClassification):
     label = source index."""
 
     def __init__(self, G, nTrain, nValid, nTest, sourceNodes, tMax=None,
-                 dataType=np.float64, rng=None):
+                 dataType=np.float64, rng=None, normalize=False):
+        """normalize=True standardizes each node's signal with training-set
+        statistics (not in the reference). For large tMax the inter-class
+        differences shrink to ~1e-6 against O(0.1) magnitudes (diffusion
+        collapses onto the dominant eigenvector); standardization rescales
+        that fine structure and removes both the high realization variance
+        and the late-training collapse (experiments/diag_sourceloc*.py:
+        tMax=100 error 0.42 -> 0.215)."""
         super().__init__()
         rng = np.random.default_rng() if rng is None else rng
         self.dataType = dataType
@@ -49,6 +56,14 @@ class SourceLocalization(DataForClassification):
         for name, idx in zip(("train", "valid", "test"), sl):
             self.samples[name]["signals"] = x[idx]
             self.samples[name]["targets"] = labels[idx]
+        if normalize:
+            xtr = self.samples["train"]["signals"]
+            mu = xtr.mean(0, keepdims=True)
+            sd = xtr.std(0, keepdims=True)
+            sd[sd < ZERO_TOL] = 1.0
+            for name in ("train", "valid", "test"):
+                self.samples[name]["signals"] = \
+                    (self.samples[name]["signals"] - mu) / sd
         self.astype(dataType)
 
 
