@@ -91,3 +91,60 @@ def test_node_variant_not_equivariant_but_consistent(setup):
     y_p = np.asarray(filters.nvgf(j(h[..., perm]), gso_lib.as_gso(S_p),
                                   j(x_p)))
     np.testing.assert_allclose(y_p, y[..., perm], atol=1e-5, rtol=1e-4)
+
+
+def test_lsigf_equivariant_sparse_modes(setup):
+    """Equivariance holds through every sparse GSO container: the same
+    filter on a relabeled graph gives relabeled outputs for the edge-list
+    (COO) and bcsr paths too."""
+    from jax.experimental.pallas import tpu as pltpu
+    from graph_neural_networks_tpu.ops import attention_sparse as asp
+    S, x, S_p, x_p, perm = setup
+    h = jnp.asarray(RNG.standard_normal((F, E, K, G)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        for make in (asp.build_edge_list,
+                     lambda s: gso_lib.as_gso(s, mode="bcsr", block_size=8)):
+            y = np.asarray(filters.lsigf(h, make(S),
+                                         jnp.asarray(x, jnp.float32)))
+            y_p = np.asarray(filters.lsigf(h, make(S_p),
+                                           jnp.asarray(x_p, jnp.float32)))
+            np.testing.assert_allclose(y_p, y[:, :, perm], atol=1e-4,
+                                       rtol=1e-4)
+
+
+def test_edge_attention_equivariant(setup):
+    """Edge-list attention path is permutation-equivariant."""
+    from graph_neural_networks_tpu.ops import attention_sparse as asp
+    S, x, S_p, x_p, perm = setup
+    P = 2
+    a = RNG.standard_normal((P, E, 2 * F)) * 0.5
+    W = RNG.standard_normal((P, E, F, G)) * 0.5
+    j = lambda v: jnp.asarray(v, jnp.float32)
+    y = np.asarray(filters.graph_attention(j(x), j(a), j(W),
+                                           asp.build_edge_list(S)))
+    y_p = np.asarray(filters.graph_attention(j(x_p), j(a), j(W),
+                                             asp.build_edge_list(S_p)))
+    np.testing.assert_allclose(y_p, y[..., perm], atol=1e-4, rtol=1e-3)
+
+
+def test_evgf_edges_equivariant(setup):
+    """Edge-list EVGF: permuting nodes + permuting the per-edge weights
+    accordingly commutes with filtering."""
+    S, x, S_p, x_p, perm = setup
+    ide, pat = gt.ev_sparsity_pattern(S, None)
+    row, col = np.nonzero(pat.sum(0) > 0)
+    w0 = RNG.standard_normal((F, E, G, N)) * 0.3
+    wk = RNG.standard_normal((F, E, K - 1, G, len(row))) * 0.3
+    j = lambda v: jnp.asarray(v, jnp.float32)
+    y = np.asarray(filters.evgf_edges(
+        j(w0), j(wk), jnp.asarray(row, np.int32), jnp.asarray(col, np.int32),
+        j(x)))
+    # permuted graph: same edges under relabeling, weights carried over
+    inv = np.empty(N, np.int64)
+    inv[perm] = np.arange(N)
+    row_p, col_p = inv[row], inv[col]
+    w0_p = w0[..., perm]
+    y_p = np.asarray(filters.evgf_edges(
+        j(w0_p), j(wk), jnp.asarray(row_p, np.int32),
+        jnp.asarray(col_p, np.int32), j(x_p)))
+    np.testing.assert_allclose(y_p, y[..., perm], atol=1e-4, rtol=1e-4)
