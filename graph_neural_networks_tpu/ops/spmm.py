@@ -91,7 +91,7 @@ def _make_bcsr_kernel(precision):
             o_ref[:] = jnp.zeros_like(o_ref)
 
         o_ref[:] += jnp.dot(x_ref[:], blk_ref[0],
-                            preferred_element_type=o_ref.dtype,
+                            preferred_element_type=jnp.float32,
                             precision=precision)
     return _bcsr_kernel
 
@@ -134,7 +134,9 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
             out_specs=pl.BlockSpec((row_tile, bs),
                                    lambda i, j, br, bc: (i, bc[j])),
         ),
-        out_shape=jax.ShapeDtypeStruct((Rp, Np), x.dtype),
+        # f32 output: o_ref doubles as the cross-step accumulator and the
+        # MXU needs 32-bit accumulation; cast back after the call
+        out_shape=jax.ShapeDtypeStruct((Rp, Np), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -148,7 +150,7 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
     # Columns with no nonzero block are never written; mask them to zero.
     touched = jnp.zeros((nb,), bool).at[block_col].set(True)
     out = jnp.where(jnp.repeat(touched, bs)[None, :], out, 0)
-    return out[:R, :n_cols]
+    return out[:R, :n_cols].astype(x.dtype)
 
 
 def dense_matmul_reference(x: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
@@ -405,14 +407,16 @@ def _make_band_kernel(w: int, bs: int, precision):
     def kernel(*refs):
         x_refs = refs[:2 * w + 1]
         s_ref, o_ref = refs[2 * w + 1], refs[2 * w + 2]
+        # accumulate in f32 regardless of io dtype (the MXU requires a
+        # 32-bit accumulator; also preserves bf16-input accuracy)
         acc = jnp.dot(x_refs[0][:], s_ref[0, :bs, :],
-                      preferred_element_type=o_ref.dtype,
+                      preferred_element_type=jnp.float32,
                       precision=precision)
         for k in range(1, 2 * w + 1):
             acc += jnp.dot(x_refs[k][:], s_ref[0, k * bs:(k + 1) * bs, :],
-                           preferred_element_type=o_ref.dtype,
+                           preferred_element_type=jnp.float32,
                            precision=precision)
-        o_ref[:] = acc
+        o_ref[:] = acc.astype(o_ref.dtype)
     return kernel
 
 
