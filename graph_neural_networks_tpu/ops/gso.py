@@ -47,7 +47,7 @@ class Gso:
     mode : 'dense' | 'bcsr' (static) — which layout `gshift` uses.
     """
 
-    S: jnp.ndarray
+    S: Optional[jnp.ndarray]
     blocks: Optional[jnp.ndarray] = None
     block_row: Optional[jnp.ndarray] = None
     block_col: Optional[jnp.ndarray] = None
@@ -83,17 +83,23 @@ def _normalize_dense(S) -> np.ndarray:
 
 
 def as_gso(S, mode: str = "dense", block_size: int = 128,
-           dtype=jnp.float32, precision: str = "highest") -> Gso:
+           dtype=jnp.float32, precision: str = "highest",
+           keep_dense: bool = True) -> Gso:
     """Build a :class:`Gso` from a dense numpy/jax array (N x N or E x N x N).
 
     precision: 'highest' (true f32, reference parity) or 'default' (bf16
     MXU passes — the TPU-native training norm, ~1.6x faster shifts).
+    keep_dense=False drops the dense (E,N,N) device copy for the sparse
+    modes — shifts never touch it; only fallback paths that genuinely
+    need dense structure (jarma, dense attention, dense edge gates) do,
+    and they raise a clear error instead.
     """
     if isinstance(S, Gso):
         return S
     S = _normalize_dense(np.asarray(S, dtype=np.float64))
     E, N, _ = S.shape
-    dev = jnp.asarray(S, dtype=dtype)
+    dev = (jnp.asarray(S, dtype=dtype)
+           if keep_dense or mode == "dense" else None)
     if mode == "dense":
         return Gso(S=dev, n=N, n_edge_features=E, mode="dense",
                    precision=precision)
@@ -154,6 +160,10 @@ def dense(gso) -> jnp.ndarray:
     """The (E, N, N) dense GSO array of `gso` (accepts raw arrays, Gso,
     and shift-duck-typed objects exposing .S)."""
     if isinstance(gso, Gso):
+        assert gso.S is not None, (
+            "this Gso was built with keep_dense=False; the requested "
+            "operation needs the dense (E,N,N) GSO — rebuild with "
+            "keep_dense=True or use a sparse-capable path")
         return gso.S
     if not isinstance(gso, (jnp.ndarray, np.ndarray)) and hasattr(gso, "S"):
         return jnp.asarray(gso.S)

@@ -202,3 +202,24 @@ def test_bcsr_union_pattern_for_mismatched_edge_features():
     assert g.blocks.shape[0] == 2
     # dense forward equality through the duck-typed dense attribute
     np.testing.assert_allclose(np.asarray(g.S[0]), S0, atol=1e-6)
+
+
+def test_gso_keep_dense_false():
+    """Sparse-mode Gso without the dense device copy: shifts work, dense
+    fallbacks raise clearly (large-N memory contract)."""
+    import pytest
+    from jax.experimental.pallas import tpu as pltpu
+    from graph_neural_networks_tpu.ops import gso as gso_lib
+    rng = np.random.default_rng(5)
+    N = 32
+    S = np.triu(rng.random((N, N)) * (rng.random((N, N)) < 0.2), 1)
+    S = S + S.T
+    x = jnp.asarray(rng.random((2, 1, 1, N)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        g = gso_lib.as_gso(S, mode="band", block_size=8, keep_dense=False)
+        assert g.S is None
+        got = np.asarray(gso_lib.gshift(g, x))
+    want = np.einsum("begn,nm->begm", np.asarray(x), S)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    with pytest.raises(AssertionError, match="keep_dense"):
+        gso_lib.dense(g)
