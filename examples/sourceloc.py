@@ -27,6 +27,9 @@ def main():
                     help="reference sourceLocGNN.py:67 graph variants")
     ap.add_argument("--fbDataDir",
                     default="/root/reference/datasets/facebookEgo")
+    ap.add_argument("--config", default=None,
+                    help="load a typed ExperimentConfig JSON (overrides "
+                         "graph/training knobs; utils.config)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -47,6 +50,23 @@ def main():
         N, C = 100, 5
         nTrain, nValid, nTest, nEpochs, batch = 8000, 200, 200, 40, 100
         F, K, pool, mlp = [1, 32, 32], [5, 5], [10, 10], [C]
+
+    # typed-config path (utils.config): load knobs from JSON, and always
+    # dump the effective config next to the run outputs
+    from graph_neural_networks_tpu.utils.config import (
+        ExperimentConfig, GraphConfig, ModelConfig, TrainingConfig)
+    if args.config:
+        cfg = ExperimentConfig.load(args.config)
+        N = cfg.graph.nNodes
+        C = cfg.graph.options.get("nCommunities", C)
+        args.graphType = cfg.graph.graphType
+        nEpochs = cfg.training.nEpochs
+        batch = cfg.training.batchSize
+        mk = cfg.model.kwargs
+        F = mk.get("dimNodeSignals", F)
+        K = mk.get("nFilterTaps", K)
+        pool = mk.get("nSelectedNodes", pool)
+        mlp = mk.get("dimLayersMLP", mlp)
 
     if args.graphType == "FacebookEgo":
         # reference sourceLocGNN.py:558-640: real 234-node 2-community
@@ -76,6 +96,18 @@ def main():
     data.expandDims()
     misc.write_var_values(f"{args.saveDir}/hyperparameters.txt", {
         "N": N, "C": C, "F": F, "K": K, "pool": pool})
+    import os
+    os.makedirs(args.saveDir, exist_ok=True)
+    ExperimentConfig(
+        name="sourceloc", seed=args.seed, saveDir=args.saveDir,
+        graph=GraphConfig(graphType=args.graphType, nNodes=N,
+                          options={"nCommunities": C}),
+        model=ModelConfig(architecture="SelectionGNN",
+                          kwargs={"dimNodeSignals": F, "nFilterTaps": K,
+                                  "nSelectedNodes": pool,
+                                  "dimLayersMLP": mlp}),
+        training=TrainingConfig(nEpochs=nEpochs, batchSize=batch, lr=1e-3),
+    ).save(f"{args.saveDir}/config.json")
 
     results = {}
 
