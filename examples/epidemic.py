@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dataDir", default="/root/reference/datasets")
     ap.add_argument("--saveDir", default="experiments/epidemic")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override nEpochs (reference config: 10; the "
+                         "gated variants need ~40 to converge — "
+                         "RESULTS.md round 2)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -41,6 +45,8 @@ def main():
     else:
         seqLen, nTrain, nValid, nTest, nEpochs, batch = 8, 1000, 120, 200, 10, 100
         H, K = 12, [5, 5]
+    if args.epochs:
+        nEpochs = args.epochs
 
     data = D.Epidemics(seqLen, 0.05, 0.3, 4, nTrain, nValid, nTest,
                        data_dir=args.dataDir, rng=rng)

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--config", default=None,
                     help="load a typed ExperimentConfig JSON (overrides "
                          "graph/training knobs; utils.config)")
+    ap.add_argument("--tMax", type=int, default=None,
+                    help="diffusion horizon (default: reference 25)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="per-node standardization (fixes the large-tMax "
+                         "fine-structure collapse; RESULTS.md round 2)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -91,8 +96,10 @@ def main():
     S = G.W / np.max(np.diag(G.E).real)               # S = W / lambda_max
     sources = gt.compute_source_nodes(G.A, C)
     # tMax = 25 per the reference driver (sourceLocGNN.py:119)
+    tMax = args.tMax or (25 if not args.quick else 8)
     data = D.SourceLocalization(G, nTrain, nValid, nTest, sources,
-                                tMax=25 if not args.quick else 8, rng=rng)
+                                tMax=tMax, rng=rng,
+                                normalize=args.normalize)
     data.expandDims()
     misc.write_var_values(f"{args.saveDir}/hyperparameters.txt", {
         "N": N, "C": C, "F": F, "K": K, "pool": pool})
