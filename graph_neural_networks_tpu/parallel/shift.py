@@ -39,6 +39,52 @@ from jax import shard_map
 from graph_neural_networks_tpu.parallel.partition import GraphPartition
 
 
+def _ext_slabs(part: GraphPartition):
+    """Per-shard halo-extended band slabs for the Pallas shard-local path.
+
+    The local contraction `y = A x_ext` (A the (nbl x nbl+2w)-block band
+    of this shard) is embedded into a square (nbl+2w)-block band matmul
+    by padding w zero output block-columns on each side — then the
+    existing differentiable Pallas kernel (ops.spmm.band_shift) computes
+    it, with the transposed slab for the VJP. Returns
+    (s_ext, s_ext_t): (P, E, nb_ext, (2w+1)*ibs, ibs) numpy arrays in
+    band_matmul layout.
+    """
+    import numpy as np
+    Pn, E, nbl, W, ibs, _ = part.slabs.shape
+    w = part.w
+    nb_ext = nbl + 2 * w
+    s_ext = np.zeros((Pn, E, nb_ext, W, ibs, ibs), np.float32)
+    s_ext[:, :, w:w + nbl] = part.slabs
+    # transpose: slab_t[j, k] = slab_ext[j+k-w, 2w-k]^T
+    s_ext_t = np.zeros_like(s_ext)
+    for j in range(nb_ext):
+        for k in range(W):
+            src = j + k - w
+            if 0 <= src < nb_ext:
+                s_ext_t[:, :, j, k] = np.swapaxes(
+                    s_ext[:, :, src, 2 * w - k], -1, -2)
+    shape = (Pn, E, nb_ext, W * ibs, ibs)
+    return s_ext.reshape(shape), s_ext_t.reshape(shape)
+
+
+def _pallas_local_contract(x_ext, s_ext, s_ext_t, w, ibs, nbl):
+    """Shard-local band contraction on the Pallas kernel (TPU fast path).
+
+    x_ext: (L, E, G, (nbl+2w)*ibs); s_ext/s_ext_t: (E, nb_ext,
+    (2w+1)*ibs, ibs). Differentiable via band_shift's custom VJP.
+    """
+    from graph_neural_networks_tpu.ops import spmm
+    L, E, G, n_ext = x_ext.shape
+    outs = []
+    for e in range(E):
+        xe = x_ext[:, e].reshape(L * G, n_ext)
+        ye = spmm.band_shift(xe, s_ext[e], s_ext_t[e], n_ext, w, ibs)
+        outs.append(ye.reshape(L, G, n_ext))
+    y = jnp.stack(outs, axis=1)                  # L, E, G, n_ext
+    return y[..., w * ibs:(w + nbl) * ibs]
+
+
 def _band_contract(x_ext: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
     """Local windowed band contraction.
 
@@ -80,7 +126,6 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
         "aggressive reordering")
     n_dev = mesh.shape[axis]
     assert n_dev == part.n_parts, (n_dev, part.n_parts)
-    slabs = jnp.asarray(part.slabs)         # (P, E, nbl, W, ibs, ibs)
     halo = part.halo
     # non-circular perms: ppermute zero-fills missing sources, which is
     # exactly the boundary condition (no nodes beyond the ends)
@@ -88,19 +133,34 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
     bwd = [(i + 1, i) for i in range(n_dev - 1)]
 
     w, nbl, ibs = part.w, part.nbl, part.inner_bs
+    # shard-local compute path: the Pallas band kernel on TPU (128-tiles),
+    # the windowed block einsum elsewhere (CPU mesh tests, odd tile sizes)
+    use_pallas = (mesh.devices.flat[0].platform == "tpu" and ibs == 128
+                  and halo > 0)
+    if use_pallas:
+        s_ext_np, s_ext_t_np = _ext_slabs(part)
+        slab_args = (jnp.asarray(s_ext_np), jnp.asarray(s_ext_t_np))
+        slab_specs = (P(axis, None, None, None, None),
+                      P(axis, None, None, None, None))
+    else:
+        slab_args = (jnp.asarray(part.slabs),)
+        slab_specs = (P(axis, None, None, None, None, None),)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(data_axis, None, None, axis),
-                  P(axis, None, None, None, None, None)),
+        in_specs=(P(data_axis, None, None, axis),) + slab_specs,
         out_specs=P(data_axis, None, None, axis))
-    def _shift(x_blk, slab_blk):
-        # x_blk: (L, E, G, bs); slab_blk: (1, E, nbl, W, ibs, ibs)
-        slab = slab_blk[0]
+    def _shift(x_blk, *slabs_blk):
+        # x_blk: (L, E, G, bs)
         if halo == 0:
-            return _band_contract(x_blk, slab)
+            return _band_contract(x_blk, slabs_blk[0][0])
         from_left = jax.lax.ppermute(x_blk[..., -halo:], axis, fwd)
         from_right = jax.lax.ppermute(x_blk[..., :halo], axis, bwd)
+        if use_pallas:
+            x_ext = jnp.concatenate([from_left, x_blk, from_right], axis=-1)
+            return _pallas_local_contract(x_ext, slabs_blk[0][0],
+                                          slabs_blk[1][0], w, ibs, nbl)
+        slab = slabs_blk[0][0]
         if nbl <= 2 * w:
             x_ext = jnp.concatenate([from_left, x_blk, from_right], axis=-1)
             return _band_contract(x_ext, slab)
@@ -118,7 +178,7 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
         y_hi = _band_contract(x_hi, slab[:, nbl - w:])
         return jnp.concatenate([y_lo, y_int, y_hi], axis=-1)
 
-    return _with_flat_leading(lambda xf: _shift(xf, slabs))
+    return _with_flat_leading(lambda xf: _shift(xf, *slab_args))
 
 
 def sharded_gshift_allgather(mesh: Mesh, part: GraphPartition,

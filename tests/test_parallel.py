@@ -307,3 +307,38 @@ def test_multihost_helpers_single_process(mesh):
 
     sl = mh.per_host_batch_slice(64)
     assert sl == slice(0, 64)
+
+
+def test_pallas_local_contract_matches_einsum(mesh):
+    """The Pallas shard-local band contraction (TPU fast path inside the
+    ring shift) == the windowed einsum, forward and VJP (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from graph_neural_networks_tpu.parallel import shift as shf
+    import scipy.sparse
+    N = 2048
+    rng = np.random.default_rng(13)
+    k = 3
+    rows = np.repeat(np.arange(N), k)
+    cols = np.clip(rows + rng.integers(-100, 101, size=N * k), 0, N - 1)
+    A = scipy.sparse.coo_matrix((rng.random(N * k), (rows, cols)),
+                                shape=(N, N))
+    part = par.partition_nodes(A, 2, order="none")
+    assert part.inner_bs == 128 and part.w >= 1
+    s_ext, s_ext_t = shf._ext_slabs(part)
+    w, ibs, nbl = part.w, part.inner_bs, part.nbl
+    n_ext = (nbl + 2 * w) * ibs
+    x_ext = jnp.asarray(rng.random((2, 1, 1, n_ext)), jnp.float32)
+    slab = jnp.asarray(part.slabs[0])        # shard 0: (E, nbl, W, ibs, ibs)
+    want, vjp_e = jax.vjp(lambda xe: shf._band_contract(xe, slab), x_ext)
+    ct = jnp.asarray(rng.random(want.shape), jnp.float32)
+    (dx_want,) = vjp_e(ct)
+    with pltpu.force_tpu_interpret_mode():
+        got, vjp_p = jax.vjp(
+            lambda xe: shf._pallas_local_contract(
+                xe, jnp.asarray(s_ext[0]), jnp.asarray(s_ext_t[0]),
+                w, ibs, nbl), x_ext)
+        (dx_got,) = vjp_p(ct)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dx_got), np.asarray(dx_want),
+                               atol=1e-3, rtol=1e-3)
