@@ -486,6 +486,21 @@ class Flocking(Data):
             fig.savefig(p)
             plt.close(fig)
             paths.append(p)
+        # encode to video when ffmpeg is available (reference
+        # dataTools.py:3701 shells out to ffmpeg the same way)
+        import shutil
+        import subprocess
+        if shutil.which("ffmpeg"):
+            video = os.path.join(saveDir, "trajectory.mp4")
+            try:
+                subprocess.run(
+                    ["ffmpeg", "-y", "-framerate", "8", "-i",
+                     os.path.join(saveDir, "frame%03d.png"),
+                     "-pix_fmt", "yuv420p", video],
+                    check=True, capture_output=True, timeout=120)
+                paths.append(video)
+            except Exception:
+                pass
         return paths
 
     save_video = saveVideo
