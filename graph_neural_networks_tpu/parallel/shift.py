@@ -189,24 +189,36 @@ def sharded_gshift_allgather(mesh: Mesh, part: GraphPartition,
     any bandwidth; the slab stays sharded across chips."""
     n_dev = mesh.shape[axis]
     assert n_dev == part.n_parts, (n_dev, part.n_parts)
-    slabs = jnp.asarray(part.slabs)
     halo = part.halo
     bs = part.block_size
+    w, nbl, ibs = part.w, part.nbl, part.inner_bs
+    use_pallas = (mesh.devices.flat[0].platform == "tpu" and ibs == 128
+                  and halo > 0)
+    if use_pallas:
+        s_ext_np, s_ext_t_np = _ext_slabs(part)
+        slab_args = (jnp.asarray(s_ext_np), jnp.asarray(s_ext_t_np))
+        slab_specs = (P(axis, None, None, None, None),
+                      P(axis, None, None, None, None))
+    else:
+        slab_args = (jnp.asarray(part.slabs),)
+        slab_specs = (P(axis, None, None, None, None, None),)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(data_axis, None, None, axis),
-                  P(axis, None, None, None, None, None)),
+        in_specs=(P(data_axis, None, None, axis),) + slab_specs,
         out_specs=P(data_axis, None, None, axis))
-    def _shift(x_blk, slab_blk):
+    def _shift(x_blk, *slabs_blk):
         x_full = jax.lax.all_gather(x_blk, axis, axis=-1, tiled=True)
         xp = jnp.pad(x_full, [(0, 0)] * 3 + [(halo, halo)])
         d = jax.lax.axis_index(axis)
         x_ext = jax.lax.dynamic_slice_in_dim(
             xp, d * bs, bs + 2 * halo, axis=-1)
-        return _band_contract(x_ext, slab_blk[0])
+        if use_pallas:
+            return _pallas_local_contract(x_ext, slabs_blk[0][0],
+                                          slabs_blk[1][0], w, ibs, nbl)
+        return _band_contract(x_ext, slabs_blk[0][0])
 
-    return _with_flat_leading(lambda xf: _shift(xf, slabs))
+    return _with_flat_leading(lambda xf: _shift(xf, *slab_args))
 
 
 def make_dp_train_step(step_fn: Callable, mesh: Mesh,
