@@ -68,10 +68,12 @@ def measure_peak(dtype_name: str):
                                  preferred_element_type=dt), z)
 
     f(A).block_until_ready()
-    t0 = time.perf_counter()
-    f(A).block_until_ready()
-    t = (time.perf_counter() - t0) / REPEAT
-    _PEAK_CACHE[dtype_name] = 2 * M ** 3 / t
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f(A).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / REPEAT)
+    _PEAK_CACHE[dtype_name] = 2 * M ** 3 / best
     return _PEAK_CACHE[dtype_name]
 
 
@@ -109,6 +111,7 @@ def bench_config(N, R, density, bandwidth, dtype_name="f32", kernel="band",
         s_band, w = spmm.dense_to_band(S, bs)
         sb = jnp.asarray(s_band, dt)
         nb = s_band.shape[0]
+        ct = spmm.auto_col_tile(N, bs)
         flops_per_shift = 2 * R * nb * (2 * w + 1) * bs * bs
 
         @jax.jit
@@ -116,10 +119,32 @@ def bench_config(N, R, density, bandwidth, dtype_name="f32", kernel="band",
             return jax.lax.fori_loop(
                 0, repeat * n_shifts,
                 lambda i, z: spmm.band_matmul(z, sb, n_cols=N, w=w,
+                                              col_tile=ct,
                                               precision=prec), x)
 
         def once(xx):
-            return spmm.band_matmul(xx, sb, n_cols=N, w=w, precision=prec)
+            return spmm.band_matmul(xx, sb, n_cols=N, w=w, col_tile=ct,
+                                    precision=prec)
+        meta = {"w": w, "band_mem": s_band.size / (N * N), "col_tile": ct}
+    elif kernel == "band_reg":
+        # the fused K-tap register: what lsigf actually launches for
+        # small row counts (one kernel for all K taps, signal in VMEM)
+        s_band, w = spmm.dense_to_band(S, bs)
+        sb = jnp.asarray(s_band, dt)
+        nb = s_band.shape[0]
+        flops_per_shift = 2 * R * nb * (2 * w + 1) * bs * bs
+
+        @jax.jit
+        def run(x):
+            def body(i, z):
+                return spmm.band_shift_register(
+                    z, sb, n_taps=K, n_cols=N, w=w,
+                    precision=prec)[K - 1]
+            return jax.lax.fori_loop(0, repeat, body, x)
+
+        def once(xx):
+            return spmm.band_shift_register(xx, sb, n_taps=2, n_cols=N,
+                                            w=w, precision=prec)[1]
         meta = {"w": w, "band_mem": s_band.size / (N * N)}
     elif kernel == "bcsr":
         blocks, brow, bcol = spmm.dense_to_bcsr(S, bs)
@@ -207,6 +232,11 @@ def main():
         for dt in ("f32", "bf16"):
             configs.append({**base, "dtype_name": dt, "kernel": "band"})
             configs.append({**base, "dtype_name": dt, "kernel": "bcsr"})
+        configs.append({**base, "dtype_name": "f32", "kernel": "band_reg"})
+        configs.append({**base, "R": 1024, "dtype_name": "f32",
+                        "kernel": "band_reg"})
+        configs.append({**base, "R": 1024, "dtype_name": "f32",
+                        "kernel": "band"})
         for n in (1024, 16384):
             configs.append({**base, "N": n, "dtype_name": "f32",
                             "kernel": "band"})
@@ -226,13 +256,14 @@ def main():
             json.dump(results, f, indent=1)
         return
 
-    res = bench_config(N, R, density, bandwidth, "f32", "band")
+    # Headline = the path lsigf actually runs at R<=REGISTER_MAX_ROWS:
+    # the fused K-tap register (one Pallas launch for all taps, signal
+    # resident in VMEM between shifts).
+    res = bench_config(N, R, density, bandwidth, "f32", "band_reg")
     t_dense = bench_dense(N, R, "f32")
     speedup = t_dense / (res["t_shift_ms"] / 1e3)
-    # production row count (R = batch*features >= 2048): the kernel is
-    # grid-/dispatch-bound at the small headline R; at scale it clears
-    # the BASELINE >=80%-of-roofline target (see experiments/
-    # bench_sweep.json for the full sweep)
+    # production row count (R = batch*features >= 2048): lsigf routes to
+    # the chained multi-column band kernel there, which saturates the MXU
     res_prod = bench_config(N, 2048, density, bandwidth, "f32", "band",
                             check=False)
 

@@ -35,11 +35,7 @@ def _shift_register(gso, x: jnp.ndarray, K: int) -> jnp.ndarray:
     x: (B, E, G, N) -> z: (B, E, K, G, N). The reference's hot loop
     (graphML.py:158-161) re-expressed as K-1 chained SpMMs.
     """
-    zs = [x]
-    for _ in range(1, K):
-        x = gso_lib.gshift(gso, x)
-        zs.append(x)
-    return jnp.stack(zs, axis=2)
+    return gso_lib.gshift_register(gso, x, K)
 
 
 def lsigf(h: jnp.ndarray, gso, x: jnp.ndarray,

@@ -226,3 +226,48 @@ def gshift(gso, x: jnp.ndarray) -> jnp.ndarray:
     y = jnp.stack(outs)  # (E, R, N)
     y = y.reshape((E,) + shp[:-3] + shp[-2:-1] + (N,))
     return jnp.moveaxis(y, 0, -3)
+
+
+def gshift_register(gso, x: jnp.ndarray, K: int) -> jnp.ndarray:
+    """The K-tap shift register [x, xS, ..., xS^{K-1}] stacked on a new
+    axis: (B, E, G, N) -> (B, E, K, G, N).
+
+    This is the LSIGF hot loop (reference graphML.py:158-161). On the
+    'band' layout with f32 signals it runs the FUSED Pallas register
+    kernel — one launch for all K taps, signal resident in VMEM between
+    shifts (no K-1 HBM round-trips) — whenever the row stripe fits VMEM
+    (spmm.register_vmem_bytes). Everywhere else it falls back to K-1
+    chained :func:`gshift` calls.
+    """
+    if K == 1:
+        return x[:, :, None]
+    # Fused wins while the kernel is dispatch/DMA-bound (small row count:
+    # 88% vs 81% of roofline at R=512 on v5e); past the crossover the
+    # chained multi-column kernel's fully parallel grid saturates the MXU
+    # (~peak at R=2048) and fusing would lose (84%). Numbers:
+    # experiments/tpu_r2_fusedreg.py.
+    rows = x.shape[0] * x.shape[2] if x.ndim == 4 else 0
+    fused = (
+        isinstance(gso, Gso) and gso.mode == "band"
+        and x.dtype == jnp.float32 and x.ndim == 4
+        and rows <= spmm.REGISTER_MAX_ROWS
+        and spmm.register_vmem_bytes(gso.n, gso.band_w, gso.block_size,
+                                     256) <= 12 * 2 ** 20
+    )
+    if fused:
+        E = gso.n_edge_features
+        B, E_, G, N = x.shape
+        assert E_ == E
+        xg = jnp.moveaxis(x, 1, 0).reshape(E, B * G, N)
+        outs = [
+            spmm.band_register(xg[e], gso.s_band[e], gso.s_band_t[e], K, N,
+                               gso.band_w, gso.block_size)
+            for e in range(E)
+        ]
+        z = jnp.stack(outs).reshape(E, K, B, G, N)
+        return jnp.transpose(z, (2, 0, 1, 3, 4))
+    zs = [x]
+    for _ in range(1, K):
+        x = gshift(gso, x)
+        zs.append(x)
+    return jnp.stack(zs, axis=2)

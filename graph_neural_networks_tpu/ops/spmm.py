@@ -166,22 +166,38 @@ def dense_matmul_reference(x: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
 # the reference's GSO.
 # ---------------------------------------------------------------------------
 
+def auto_col_tile(n_cols: int, block_size: int = 128) -> int:
+    """Largest col_tile in {4, 2, 1} dividing the block count (avoids a
+    per-call device pad of the slab). Multi-column tiles share their
+    overlapping x window reads — measured on v5e this lifts the band
+    kernel from 72% to 81% of roofline at R=512 and from 92% to ~peak
+    at R=2048 (experiments/tpu_r2_fusedreg.py)."""
+    nb = _cdiv(n_cols, block_size)
+    for c in (4, 2):
+        if nb % c == 0:
+            return c
+    return 1
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def band_shift(x, s_band, s_band_t, n_cols, w, block_size=128,
                row_tile=256):
     return band_matmul(x, s_band, n_cols=n_cols, w=w, block_size=block_size,
-                       row_tile=row_tile)
+                       row_tile=row_tile,
+                       col_tile=auto_col_tile(n_cols, block_size))
 
 
 def _band_shift_fwd(x, s_band, s_band_t, n_cols, w, block_size, row_tile):
     y = band_matmul(x, s_band, n_cols=n_cols, w=w, block_size=block_size,
-                    row_tile=row_tile)
+                    row_tile=row_tile,
+                    col_tile=auto_col_tile(n_cols, block_size))
     return y, s_band_t
 
 
 def _band_shift_bwd(n_cols, w, block_size, row_tile, s_band_t, g):
     dx = band_matmul(g, s_band_t, n_cols=n_cols, w=w, block_size=block_size,
-                     row_tile=row_tile)
+                     row_tile=row_tile,
+                     col_tile=auto_col_tile(n_cols, block_size))
     return dx, None, None
 
 
@@ -319,9 +335,9 @@ def band_shift_register(x: jnp.ndarray, s_band: jnp.ndarray, *, n_taps: int,
     out = pl.pallas_call(
         _make_fused_kernel(n_taps, w, bs, nb, rt, precision),
         grid=(Rp // rt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_taps, Rp, Np), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, rt, Np + 2 * w * bs), jnp.float32),
@@ -335,6 +351,58 @@ def band_shift_register(x: jnp.ndarray, s_band: jnp.ndarray, *, n_taps: int,
         interpret=interpret,
     )(s_band, xp)
     return out[:, :R, :n_cols]
+
+
+# Row-count crossover between the fused register (wins while dispatch/
+# DMA-bound) and the chained multi-column band kernel (saturates the MXU
+# at large R). Measured on v5e: fused 88% vs chained 81% at R=512; fused
+# 84% vs chained ~peak at R=2048 (experiments/tpu_r2_fusedreg.py).
+REGISTER_MAX_ROWS = 1024
+
+
+def register_vmem_bytes(n_cols: int, w: int, block_size: int = 128,
+                        row_tile: int = 256) -> int:
+    """VMEM footprint of band_shift_register's scratch buffers: the fused
+    kernel keeps the whole (row_tile x padded-N-with-halo) signal stripe
+    resident, so it only applies when this fits (~<12 MiB of the 16 MiB
+    VMEM); callers fall back to chained band_shift above that."""
+    bs = block_size
+    Np = _cdiv(n_cols, bs) * bs
+    zbuf = 2 * row_tile * (Np + 2 * w * bs) * 4
+    sbuf = 2 * (2 * w + 1) * bs * bs * 4
+    return zbuf + sbuf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def band_register(x, s_band, s_band_t, n_taps, n_cols, w, block_size=128,
+                  row_tile=256):
+    """Differentiable fused K-tap shift register: (R, N) -> (K, R, N) =
+    [x, xS, ..., xS^{K-1}] in ONE Pallas launch (signal stays in VMEM
+    between taps). Backward: dx = g_0 + (g_1 + (g_2 + ...) S^T) S^T — a
+    Horner chain of K-1 band matmuls with the transposed slab. S is
+    structure (non-differentiable), same contract as band_shift."""
+    return band_shift_register(x, s_band, n_taps=n_taps, n_cols=n_cols, w=w,
+                               block_size=block_size, row_tile=row_tile)
+
+
+def _band_register_fwd(x, s_band, s_band_t, n_taps, n_cols, w, block_size,
+                       row_tile):
+    y = band_shift_register(x, s_band, n_taps=n_taps, n_cols=n_cols, w=w,
+                            block_size=block_size, row_tile=row_tile)
+    return y, s_band_t
+
+
+def _band_register_bwd(n_taps, n_cols, w, block_size, row_tile, s_band_t, g):
+    ct = auto_col_tile(n_cols, block_size)
+    dx = g[n_taps - 1]
+    for k in range(n_taps - 2, -1, -1):
+        dx = band_matmul(dx, s_band_t, n_cols=n_cols, w=w,
+                         block_size=block_size, row_tile=row_tile,
+                         col_tile=ct) + g[k]
+    return dx, None, None
+
+
+band_register.defvjp(_band_register_fwd, _band_register_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -403,38 +471,50 @@ def dense_to_band_at(S: np.ndarray, block_size: int, w: int) -> np.ndarray:
     return s_band
 
 
-def _make_band_kernel(w: int, bs: int, precision):
+def _make_band_kernel(w: int, bs: int, C: int, precision):
+    W = 2 * w + 1
+
     def kernel(*refs):
-        x_refs = refs[:2 * w + 1]
-        s_ref, o_ref = refs[2 * w + 1], refs[2 * w + 2]
+        x_refs = refs[:2 * w + C]
+        s_ref, o_ref = refs[2 * w + C], refs[2 * w + C + 1]
         # accumulate in f32 regardless of io dtype (the MXU requires a
         # 32-bit accumulator; also preserves bf16-input accuracy)
-        acc = jnp.dot(x_refs[0][:], s_ref[0, :bs, :],
-                      preferred_element_type=jnp.float32,
-                      precision=precision)
-        for k in range(1, 2 * w + 1):
-            acc += jnp.dot(x_refs[k][:], s_ref[0, k * bs:(k + 1) * bs, :],
-                           preferred_element_type=jnp.float32,
-                           precision=precision)
-        o_ref[:] = acc.astype(o_ref.dtype)
+        for c in range(C):
+            acc = jnp.dot(x_refs[c][:], s_ref[c, :bs, :],
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+            for k in range(1, W):
+                acc += jnp.dot(x_refs[c + k][:],
+                               s_ref[c, k * bs:(k + 1) * bs, :],
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+            o_ref[:, c * bs:(c + 1) * bs] = acc.astype(o_ref.dtype)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("n_cols", "w", "block_size",
-                                             "row_tile", "interpret",
-                                             "precision"))
+                                             "row_tile", "col_tile",
+                                             "interpret", "precision"))
 def band_matmul(x: jnp.ndarray, s_band: jnp.ndarray, *, n_cols: int, w: int,
                 block_size: int = 128, row_tile: int = 256,
-                interpret: bool = False,
+                col_tile: int = 1, interpret: bool = False,
                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """y = x @ S for block-banded S in dense_to_band layout.
 
     x: (R, N); s_band: (nb, (2w+1)*bs, bs). Out-of-range window blocks are
     clamped to block 0 — harmless because their band rows are zero.
+    col_tile=C computes C adjacent output block-columns per grid step; the
+    C column windows share their overlapping x tiles (2w+C tile reads for
+    C columns instead of C*(2w+1)), cutting HBM traffic on the re-read
+    signal — the win at small R where the kernel is dispatch/DMA-bound.
     """
     R, N = x.shape
     bs = block_size
+    C = col_tile
     nb = _cdiv(n_cols, bs)
+    nbp = _cdiv(nb, C) * C
+    if nbp != nb:
+        s_band = jnp.pad(s_band, ((0, nbp - nb), (0, 0), (0, 0)))
     Np = nb * bs
     Rp = _cdiv(max(R, 8), row_tile) * row_tile
     if (Rp, Np) == (R, N):
@@ -442,28 +522,28 @@ def band_matmul(x: jnp.ndarray, s_band: jnp.ndarray, *, n_cols: int, w: int,
     else:
         xp = jnp.zeros((Rp, Np), x.dtype).at[:R, :N].set(x)
 
-    def make_index_map(k):
+    def make_index_map(t):
         def index_map(i, j):
-            return (i, jnp.clip(j + k - w, 0, nb - 1))
+            return (i, jnp.clip(j * C + t - w, 0, nb - 1))
         return index_map
 
     out = pl.pallas_call(
-        _make_band_kernel(w, bs, precision),
-        grid=(Rp // row_tile, nb),
-        in_specs=[pl.BlockSpec((row_tile, bs), make_index_map(k))
-                  for k in range(2 * w + 1)]
-        + [pl.BlockSpec((1, (2 * w + 1) * bs, bs), lambda i, j: (j, 0, 0))],
-        out_specs=pl.BlockSpec((row_tile, bs), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((Rp, Np), x.dtype),
+        _make_band_kernel(w, bs, C, precision),
+        grid=(Rp // row_tile, nbp // C),
+        in_specs=[pl.BlockSpec((row_tile, bs), make_index_map(t))
+                  for t in range(2 * w + C)]
+        + [pl.BlockSpec((C, (2 * w + 1) * bs, bs), lambda i, j: (j, 0, 0))],
+        out_specs=pl.BlockSpec((row_tile, C * bs), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Rp, nbp * bs), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Rp * nb * (2 * w + 1) * bs * bs,
+            flops=2 * Rp * nbp * (2 * w + 1) * bs * bs,
             bytes_accessed=(Rp * Np * 2
                             + nb * (2 * w + 1) * bs * bs) * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*([xp] * (2 * w + 1) + [s_band]))
+    )(*([xp] * (2 * w + C) + [s_band]))
     return out[:R, :n_cols]

@@ -96,6 +96,93 @@ def test_band_shift_register_matches_chained():
     np.testing.assert_allclose(got, np.stack(want), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("C", [2, 3])
+def test_band_matmul_col_tile_matches_dense(C):
+    """Multi-column band kernel (col_tile=C shares x window tiles across C
+    adjacent output columns) == dense, including nb not a multiple of C."""
+    N, bw, bs = 176, 30, 16   # nb = 11, not a multiple of 2 or 3
+    rng = np.random.default_rng(17)
+    S = np.zeros((N, N))
+    ii = rng.integers(0, N, size=N * 6)
+    jj = ii + rng.integers(-bw, bw + 1, size=len(ii))
+    ok = (jj >= 0) & (jj < N)
+    S[ii[ok], jj[ok]] = rng.random(ok.sum())
+    x = rng.random((10, N)).astype(np.float32)
+    s_band, w = spmm.dense_to_band(S, bs)
+    got = spmm.band_matmul(jnp.asarray(x), jnp.asarray(s_band), n_cols=N,
+                           w=w, block_size=bs, col_tile=C, interpret=True)
+    np.testing.assert_allclose(got, x @ S, atol=1e-4, rtol=1e-4)
+
+
+def test_band_register_vjp_matches_chained():
+    """Differentiable fused register (band_register custom VJP) == chained
+    band_shift taps, forward AND gradient."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    N, R, K, bs = 96, 12, 4, 16
+    rng = np.random.default_rng(23)
+    S = np.zeros((N, N), np.float32)
+    ii = rng.integers(0, N, 400)
+    jj = ii + rng.integers(-20, 21, 400)
+    ok = (jj >= 0) & (jj < N)
+    S[ii[ok], jj[ok]] = rng.random(ok.sum())
+    x = jnp.asarray(rng.random((R, N)), jnp.float32)
+    s_band, w = spmm.dense_to_band(S, bs)
+    s_band_t, _ = spmm.dense_to_band(S.T, bs)
+    sb, sbt = jnp.asarray(s_band), jnp.asarray(s_band_t)
+    ct = jnp.asarray(rng.random((K, R, N)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        y, pull = jax.vjp(
+            lambda x: spmm.band_register(x, sb, sbt, K, N, w, bs, 8), x)
+        (dx,) = pull(ct)
+    want = [np.asarray(x)]
+    for _ in range(K - 1):
+        want.append(want[-1] @ S)
+    np.testing.assert_allclose(y, np.stack(want), atol=1e-4, rtol=1e-4)
+    # dx = sum_k ct_k (S^T)^k
+    dwant = np.zeros_like(np.asarray(x))
+    for k in range(K):
+        dwant += np.asarray(ct[k]) @ np.linalg.matrix_power(S.T, k)
+    np.testing.assert_allclose(dx, dwant, atol=1e-3, rtol=1e-3)
+
+
+def test_gshift_register_fused_matches_dense():
+    """gshift_register takes the fused band path (B,E,G,N signals) and
+    matches the dense chained register, forward and grads through lsigf."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from graph_neural_networks_tpu.ops import filters, gso as gso_lib
+    N, K = 64, 3
+    rng = np.random.default_rng(29)
+    S = np.zeros((N, N), np.float32)
+    ii = rng.integers(0, N, 300)
+    jj = ii + rng.integers(-12, 13, 300)
+    ok = (jj >= 0) & (jj < N)
+    S[ii[ok], jj[ok]] = rng.random(ok.sum())
+    h = jnp.asarray(rng.random((3, 1, K, 2)), jnp.float32)
+    x = jnp.asarray(rng.random((2, 1, 2, N)), jnp.float32)
+
+    g_dense = gso_lib.as_gso(S, mode="dense")
+    want_z = gso_lib.gshift_register(g_dense, x, K)
+    with pltpu.force_tpu_interpret_mode():
+        g_band = gso_lib.as_gso(S, mode="band", block_size=16)
+        # the fused predicate must actually fire for this config
+        assert spmm.register_vmem_bytes(N, g_band.band_w, 16, 256) \
+            <= 12 * 2 ** 20
+        got_z = gso_lib.gshift_register(g_band, x, K)
+        np.testing.assert_allclose(got_z, want_z, atol=1e-4, rtol=1e-4)
+        gh_b, gx_b = jax.grad(
+            lambda h, xx: jnp.sum(
+                filters.lsigf(h, g_band, xx[:, 0]) ** 2),
+            argnums=(0, 1))(h, x)
+    gh_d, gx_d = jax.grad(
+        lambda h, xx: jnp.sum(filters.lsigf(h, g_dense, xx[:, 0]) ** 2),
+        argnums=(0, 1))(h, x)
+    np.testing.assert_allclose(gh_b, gh_d, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(gx_b, gx_d, atol=1e-3, rtol=1e-3)
+
+
 def test_band_diag_only():
     S = np.diag(np.arange(1.0, 33.0))
     x = np.random.default_rng(0).random((4, 32)).astype(np.float32)
