@@ -355,9 +355,10 @@ def band_shift_register(x: jnp.ndarray, s_band: jnp.ndarray, *, n_taps: int,
 
 # Row-count crossover between the fused register (wins while dispatch/
 # DMA-bound) and the chained multi-column band kernel (saturates the MXU
-# at large R). Measured on v5e: fused 88% vs chained 81% at R=512; fused
-# 84% vs chained ~peak at R=2048 (experiments/tpu_r2_fusedreg.py).
-REGISTER_MAX_ROWS = 1024
+# at large R). Measured on v5e: fused 88% vs chained 82% at R=512, but
+# chained 97% vs fused 94% at R=1024 and ~peak vs 84% at R=2048
+# (experiments/tpu_r2_fusedreg.py, experiments/bench_sweep.json).
+REGISTER_MAX_ROWS = 512
 
 
 def register_vmem_bytes(n_cols: int, w: int, block_size: int = 128,
