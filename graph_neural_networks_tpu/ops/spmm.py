@@ -12,10 +12,12 @@ kernel is the MXU matmul roofline on the nonzero blocks; edges/s follows as
 This replaces the reference's dense ``torch.matmul(x, S)`` inner loop
 (graphML.py:158-161) which is O(N^2) regardless of sparsity.
 
-Layout: blocks sorted by block-column so that all contributions to one
-output column tile are adjacent in the grid's innermost dimension — the
-kernel then revisits the same output block consecutively (the canonical
-Pallas accumulation pattern) and zeroes it on first touch.
+Layout: blocks sorted by block-column so each output column owns a
+contiguous block segment (scalar-prefetched offsets). The kernel grid is
+(row tiles x output columns), both parallel; each step streams its
+column's segment through the MXU with double-buffered manual DMA (the x
+tile for a block is chosen by the block's row id — data-dependent, so
+not expressible as a BlockSpec index map) and writes once.
 """
 
 from __future__ import annotations
@@ -29,6 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ZERO_TOL = 1e-9
+
+# BCSR pipeline depth: DMA slots in flight per (row-tile, column) step
+NBUF = 4
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -77,23 +82,58 @@ def dense_to_bcsr_with_pattern(S: np.ndarray, block_size: int,
     return tiles[block_row, block_col].astype(np.float32)
 
 
-def _make_bcsr_kernel(precision):
-    def _bcsr_kernel(brow_ref, bcol_ref, x_ref, blk_ref, o_ref):
-        """One (row-tile i, nonzero-block j) grid step:
-        o[i, col(j)] += x[i, row(j)] @ blk[j]."""
+def _make_bcsr_kernel(bs: int, rt: int, precision):
+    def kernel(col_start_ref, brow_ref, x_hbm, blk_hbm, o_ref,
+               acc, xbuf, bbuf, x_sem, b_sem):
+        """One (row-tile i, output block-column j) grid step: stream this
+        column's nonzero blocks [col_start[j], col_start[j+1]) through the
+        MXU with double-buffered manual DMA (x tile chosen by the block's
+        row id — data-dependent, hence not expressible as a BlockSpec
+        index map), accumulate in f32 VMEM, single-shot write. Both grid
+        axes are parallel: no output revisit, no serialization."""
+        i = pl.program_id(0)
         j = pl.program_id(1)
-        # First nonzero block of this output column? Zero the accumulator.
-        is_first = jnp.where(j == 0, True,
-                             bcol_ref[j] != bcol_ref[jnp.maximum(j - 1, 0)])
+        k0 = col_start_ref[j]
+        k1 = col_start_ref[j + 1]
 
-        @pl.when(is_first)
-        def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
+        def dma_x(slot, k):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * rt, rt), pl.ds(brow_ref[k] * bs, bs)],
+                xbuf.at[slot], x_sem.at[slot])
 
-        o_ref[:] += jnp.dot(x_ref[:], blk_ref[0],
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
-    return _bcsr_kernel
+        def dma_b(slot, k):
+            return pltpu.make_async_copy(blk_hbm.at[k], bbuf.at[slot],
+                                         b_sem.at[slot])  # (bs, bs) slice
+
+        acc[:] = jnp.zeros_like(acc)
+
+        # NBUF-deep pipeline: keep NBUF-1 block fetches in flight so DMA
+        # latency hides behind the (rt x bs) @ (bs x bs) MXU dots.
+        for d in range(NBUF - 1):
+            @pl.when(k0 + d < k1)
+            def _(d=d):
+                dma_x(d, k0 + d).start()
+                dma_b(d, k0 + d).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k - k0, NBUF)
+
+            @pl.when(k + NBUF - 1 < k1)
+            def _():
+                nxt = jax.lax.rem(slot + NBUF - 1, NBUF)
+                dma_x(nxt, k + NBUF - 1).start()
+                dma_b(nxt, k + NBUF - 1).start()
+
+            dma_x(slot, k).wait()
+            dma_b(slot, k).wait()
+            acc[:] += jnp.dot(xbuf[slot], bbuf[slot],
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+            return 0
+
+        jax.lax.fori_loop(k0, k1, body, 0)
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("n_cols", "block_size",
@@ -101,7 +141,7 @@ def _make_bcsr_kernel(precision):
                                              "precision"))
 def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
                 block_col: jnp.ndarray, *, n_cols: int,
-                block_size: int = 128, row_tile: int = 256,
+                block_size: int = 128, row_tile: int = 512,
                 interpret: bool = False,
                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Compute ``y = x @ S`` with S in BCSR layout.
@@ -109,6 +149,10 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
     x : (R, N) dense signals (rows = flattened batch*features).
     blocks : (nnzb, bs, bs); block_row/block_col : (nnzb,) int32 sorted by col.
     n_cols : true N (output trimmed back to it).
+
+    Grid = (row tiles, output block-columns), both parallel; each step
+    walks its column's block segment (scalar-prefetched offsets) with
+    double-buffered DMA. Empty columns write zeros — no masking pass.
     """
     R, N = x.shape
     bs = block_size
@@ -117,28 +161,30 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
     Np = nb * bs
     Rp = _cdiv(max(R, 8), row_tile) * row_tile
     xp = jnp.zeros((Rp, Np), x.dtype).at[:R, :N].set(x)
-
-    grid = (Rp // row_tile, nnzb)
+    # first block index of each column segment (blocks sorted by col)
+    col_start = jnp.searchsorted(block_col, jnp.arange(nb + 1)) \
+        .astype(jnp.int32)
 
     out = pl.pallas_call(
-        _make_bcsr_kernel(precision),
+        _make_bcsr_kernel(bs, row_tile, precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((row_tile, bs),
-                             lambda i, j, br, bc: (i, br[j])),
-                pl.BlockSpec((1, bs, bs),
-                             lambda i, j, br, bc: (j, 0, 0)),
-            ],
+            grid=(Rp // row_tile, nb),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((row_tile, bs),
-                                   lambda i, j, br, bc: (i, bc[j])),
+                                   lambda i, j, cs, br: (i, j)),
+            scratch_shapes=[
+                pltpu.VMEM((row_tile, bs), jnp.float32),
+                pltpu.VMEM((NBUF, row_tile, bs), x.dtype),
+                pltpu.VMEM((NBUF, bs, bs), blocks.dtype),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ],
         ),
-        # f32 output: o_ref doubles as the cross-step accumulator and the
-        # MXU needs 32-bit accumulation; cast back after the call
-        out_shape=jax.ShapeDtypeStruct((Rp, Np), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Rp, Np), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Rp * nnzb * bs * bs,
@@ -146,11 +192,8 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(block_row, block_col, xp, blocks)
-    # Columns with no nonzero block are never written; mask them to zero.
-    touched = jnp.zeros((nb,), bool).at[block_col].set(True)
-    out = jnp.where(jnp.repeat(touched, bs)[None, :], out, 0)
-    return out[:R, :n_cols].astype(x.dtype)
+    )(col_start, block_row, xp, blocks)
+    return out[:R, :n_cols]
 
 
 def dense_matmul_reference(x: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
@@ -215,26 +258,40 @@ def bcsr_transpose(blocks: np.ndarray, rows: np.ndarray, cols: np.ndarray):
             t_cols[order].astype(np.int32))
 
 
+def auto_row_tile(n_rows: int) -> int:
+    """Row tile matched to the row count: bigger tiles amortize block
+    re-reads across row tiles (v5e: rt=1024 is 86% vs 79% at R=2048) but
+    must not exceed R (padding would be dead work: rt=1024 at R=512 runs
+    at half speed)."""
+    for rt in (1024, 512, 256):
+        if n_rows >= rt:
+            return rt
+    return 256
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def bcsr_shift(x, blocks, brow, bcol, blocks_t, brow_t, bcol_t,
                n_cols, block_size=128):
     """Differentiable BCSR SpMM (cotangent = shift by S^T; S is structure,
     non-differentiable — same contract as band_shift)."""
     return bcsr_matmul(x, blocks, brow, bcol, n_cols=n_cols,
-                       block_size=block_size)
+                       block_size=block_size,
+                       row_tile=auto_row_tile(x.shape[0]))
 
 
 def _bcsr_shift_fwd(x, blocks, brow, bcol, blocks_t, brow_t, bcol_t,
                     n_cols, block_size):
     y = bcsr_matmul(x, blocks, brow, bcol, n_cols=n_cols,
-                    block_size=block_size)
+                    block_size=block_size,
+                    row_tile=auto_row_tile(x.shape[0]))
     return y, (blocks_t, brow_t, bcol_t)
 
 
 def _bcsr_shift_bwd(n_cols, block_size, res, g):
     blocks_t, brow_t, bcol_t = res
     dx = bcsr_matmul(g, blocks_t, brow_t, bcol_t, n_cols=n_cols,
-                     block_size=block_size)
+                     block_size=block_size,
+                     row_tile=auto_row_tile(g.shape[0]))
     return dx, None, None, None, None, None, None
 
 
