@@ -233,11 +233,12 @@ def gshift_register(gso, x: jnp.ndarray, K: int) -> jnp.ndarray:
     axis: (B, E, G, N) -> (B, E, K, G, N).
 
     This is the LSIGF hot loop (reference graphML.py:158-161). On the
-    'band' layout with f32 signals it runs the FUSED Pallas register
+    'band' layout with f32/bf16 signals it runs the FUSED Pallas register
     kernel — one launch for all K taps, signal resident in VMEM between
     shifts (no K-1 HBM round-trips) — whenever the row stripe fits VMEM
-    (spmm.register_vmem_bytes). Everywhere else it falls back to K-1
-    chained :func:`gshift` calls.
+    (spmm.register_vmem_bytes) and the row count is below the measured
+    crossover (spmm.REGISTER_MAX_ROWS). Everywhere else it falls back to
+    K-1 chained :func:`gshift` calls.
     """
     if K == 1:
         return x[:, :, None]
@@ -247,12 +248,17 @@ def gshift_register(gso, x: jnp.ndarray, K: int) -> jnp.ndarray:
     # (~peak at R=2048) and fusing would lose (84%). Numbers:
     # experiments/tpu_r2_fusedreg.py.
     rows = x.shape[0] * x.shape[2] if x.ndim == 4 else 0
+    # f32 only: at bf16 the chained multi-column kernel's halved HBM
+    # traffic + fully parallel grid beats the register's sequential
+    # column loop even at R=512 (1807 vs 1610 G edges/s on v5e,
+    # experiments/tpu_r2_bf16reg.py).
     fused = (
         isinstance(gso, Gso) and gso.mode == "band"
-        and x.dtype == jnp.float32 and x.ndim == 4
+        and x.dtype == jnp.float32
+        and x.ndim == 4 and gso.s_band.dtype == x.dtype
         and rows <= spmm.REGISTER_MAX_ROWS
         and spmm.register_vmem_bytes(gso.n, gso.band_w, gso.block_size,
-                                     256) <= 12 * 2 ** 20
+                                     256, x.dtype.itemsize) <= 12 * 2 ** 20
     )
     if fused:
         E = gso.n_edge_features

@@ -36,6 +36,15 @@ ZERO_TOL = 1e-9
 NBUF = 4
 
 
+def _resolve_precision(precision, dtype):
+    """None = auto: true-f32 MXU passes for f32 io, native bf16 passes for
+    bf16 io (HIGHEST on bf16 inputs would force multi-pass upcasting)."""
+    if precision is not None:
+        return precision
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -143,7 +152,7 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
                 block_col: jnp.ndarray, *, n_cols: int,
                 block_size: int = 128, row_tile: int = 512,
                 interpret: bool = False,
-                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                precision=None) -> jnp.ndarray:
     """Compute ``y = x @ S`` with S in BCSR layout.
 
     x : (R, N) dense signals (rows = flattened batch*features).
@@ -154,6 +163,7 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
     walks its column's block segment (scalar-prefetched offsets) with
     double-buffered DMA. Empty columns write zeros — no masking pass.
     """
+    precision = _resolve_precision(precision, x.dtype)
     R, N = x.shape
     bs = block_size
     nnzb = blocks.shape[0]
@@ -355,7 +365,9 @@ def _make_fused_kernel(K: int, w: int, bs: int, nb: int, rt: int,
                         sbuf[slot, kk * bs:(kk + 1) * bs, :],
                         preferred_element_type=jnp.float32,
                         precision=precision)
-                zbuf[nxt, :, pl.ds(wbs + j * bs, bs)] = acc
+                # io dtype buffer (bf16 io halves VMEM + HBM traffic);
+                # accumulation above is always f32 on the MXU
+                zbuf[nxt, :, pl.ds(wbs + j * bs, bs)] = acc.astype(zbuf.dtype)
                 return 0
 
             jax.lax.fori_loop(0, nb, col, 0)
@@ -374,11 +386,12 @@ def _make_fused_kernel(K: int, w: int, bs: int, nb: int, rt: int,
 def band_shift_register(x: jnp.ndarray, s_band: jnp.ndarray, *, n_taps: int,
                         n_cols: int, w: int, block_size: int = 128,
                         row_tile: int = 256, interpret: bool = False,
-                        precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                        precision=None) -> jnp.ndarray:
     """All K taps in one kernel: returns (K, R, N) = [x, xS, ..., xS^{K-1}].
 
     x: (R, N); s_band as dense_to_band. Requires n_taps >= 1.
     """
+    precision = _resolve_precision(precision, x.dtype)
     R, N = x.shape
     bs = block_size
     nb = _cdiv(n_cols, bs)
@@ -397,8 +410,8 @@ def band_shift_register(x: jnp.ndarray, s_band: jnp.ndarray, *, n_taps: int,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_taps, Rp, Np), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, rt, Np + 2 * w * bs), jnp.float32),
-            pltpu.VMEM((2, W * bs, bs), jnp.float32),
+            pltpu.VMEM((2, rt, Np + 2 * w * bs), x.dtype),
+            pltpu.VMEM((2, W * bs, bs), s_band.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -419,15 +432,15 @@ REGISTER_MAX_ROWS = 512
 
 
 def register_vmem_bytes(n_cols: int, w: int, block_size: int = 128,
-                        row_tile: int = 256) -> int:
+                        row_tile: int = 256, itemsize: int = 4) -> int:
     """VMEM footprint of band_shift_register's scratch buffers: the fused
     kernel keeps the whole (row_tile x padded-N-with-halo) signal stripe
     resident, so it only applies when this fits (~<12 MiB of the 16 MiB
     VMEM); callers fall back to chained band_shift above that."""
     bs = block_size
     Np = _cdiv(n_cols, bs) * bs
-    zbuf = 2 * row_tile * (Np + 2 * w * bs) * 4
-    sbuf = 2 * (2 * w + 1) * bs * bs * 4
+    zbuf = 2 * row_tile * (Np + 2 * w * bs) * itemsize
+    sbuf = 2 * (2 * w + 1) * bs * bs * itemsize
     return zbuf + sbuf
 
 
@@ -556,7 +569,7 @@ def _make_band_kernel(w: int, bs: int, C: int, precision):
 def band_matmul(x: jnp.ndarray, s_band: jnp.ndarray, *, n_cols: int, w: int,
                 block_size: int = 128, row_tile: int = 256,
                 col_tile: int = 1, interpret: bool = False,
-                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                precision=None) -> jnp.ndarray:
     """y = x @ S for block-banded S in dense_to_band layout.
 
     x: (R, N); s_band: (nb, (2w+1)*bs, bs). Out-of-range window blocks are
@@ -566,6 +579,7 @@ def band_matmul(x: jnp.ndarray, s_band: jnp.ndarray, *, n_cols: int, w: int,
     C columns instead of C*(2w+1)), cutting HBM traffic on the re-read
     signal — the win at small R where the kernel is dispatch/DMA-bound.
     """
+    precision = _resolve_precision(precision, x.dtype)
     R, N = x.shape
     bs = block_size
     C = col_tile
