@@ -115,10 +115,28 @@ def _band_aggregate(v, coeff_col, w):
     return y.reshape(y.shape[:-2] + (nb * ibs,))
 
 
+def _use_flash() -> bool:
+    """Route the band attention entry points to the fused Pallas flash
+    kernels (ops.attention_flash — alpha never materialized in HBM) when
+    compiling for TPU; the XLA dense-tile path below remains the
+    CPU/debug fallback (GNT_NO_FLASH=1 forces it)."""
+    import os
+    if os.environ.get("GNT_NO_FLASH"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probe only
+        return False
+
+
 def graph_attention_band(x, a, W_p, slab5, w, n_out: Optional[int] = None,
                          negative_slope: float = 0.2):
     """GAT layer output on the band: y = sum_e Wx @ (S*alpha).
     Returns (B, P, F, N). Matches filters.graph_attention on banded S."""
+    if _use_flash():
+        from graph_neural_networks_tpu.ops import attention_flash as af
+        return af.graph_attention_band_flash(x, a, W_p, slab5, w, n_out,
+                                             negative_slope)
     alpha_col, Wx = band_attention_coefficients(x, a, W_p, slab5, w,
                                                 negative_slope)
     coeff = slab5[None, None] * alpha_col           # B,P,E,nb,W,ibs,ibs
@@ -132,6 +150,10 @@ def gat_lsigf_band(h, x, a, W_p, slab5, w, b=None,
                    negative_slope: float = 0.2):
     """K-tap GCAT over banded attention coefficients (shift = alpha,
     reference graphML.py:876-879). h: (E,K) -> y: (B,P,F,N)."""
+    if _use_flash():
+        from graph_neural_networks_tpu.ops import attention_flash as af
+        return af.gat_lsigf_band_flash(h, x, a, W_p, slab5, w, b,
+                                       negative_slope)
     E, K = h.shape
     P, _, F, G = W_p.shape
     B, _, N = x.shape
@@ -153,6 +175,10 @@ def gat_lsigf_band(h, x, a, W_p, slab5, w, b=None,
 def gat_evgf_band(x, a, W_p, slab5, w, b=None, negative_slope: float = 0.2):
     """Per-hop banded attention edge-variant filter (reference
     graphML.py:897-969). a: (P,K,E,2F), W_p: (P,K,E,F,G) -> (B,P,F,N)."""
+    if _use_flash():
+        from graph_neural_networks_tpu.ops import attention_flash as af
+        return af.gat_evgf_band_flash(x, a, W_p, slab5, w, b,
+                                      negative_slope)
     P, K, E, F, G = W_p.shape
     N = x.shape[-1]
     alpha0, _ = band_attention_coefficients(x, a[:, 0], W_p[:, 0], slab5, w,
