@@ -225,6 +225,9 @@ def graph_attention(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
     from graph_neural_networks_tpu.ops import attention_sparse as asp
     if isinstance(gso, asp.EdgeList):
         return asp.graph_attention_edges(x, a, W, gso, negative_slope)
+    if hasattr(gso, "band_attention"):   # parallel.sharded_gso.ShardedGso
+        from graph_neural_networks_tpu.parallel import attention as sha
+        return sha.sharded_graph_attention(x, a, W, gso.band_attention)
     if isinstance(gso, gso_lib.Gso) and gso.mode == "band":
         from graph_neural_networks_tpu.ops import attention_band as ab
         return ab.graph_attention_band(x, a, W, _slab5(gso), gso.band_w,
@@ -248,6 +251,9 @@ def gat_lsigf(h: jnp.ndarray, x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray,
     from graph_neural_networks_tpu.ops import attention_sparse as asp
     if isinstance(gso, asp.EdgeList):
         return asp.gat_lsigf_edges(h, x, a, W, gso, b, negative_slope)
+    if hasattr(gso, "band_attention"):   # parallel.sharded_gso.ShardedGso
+        from graph_neural_networks_tpu.parallel import attention as sha
+        return sha.sharded_gat_lsigf(h, x, a, W, gso.band_attention, b)
     if isinstance(gso, gso_lib.Gso) and gso.mode == "band":
         from graph_neural_networks_tpu.ops import attention_band as ab
         return ab.gat_lsigf_band(h, x, a, W, _slab5(gso), gso.band_w, b,
@@ -284,6 +290,9 @@ def gat_evgf(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
     from graph_neural_networks_tpu.ops import attention_sparse as asp
     if isinstance(gso, asp.EdgeList):
         return asp.gat_evgf_edges(x, a, W, gso, b, negative_slope)
+    if hasattr(gso, "band_attention"):   # parallel.sharded_gso.ShardedGso
+        from graph_neural_networks_tpu.parallel import attention as sha
+        return sha.sharded_gat_evgf(x, a, W, gso.band_attention, b)
     if isinstance(gso, gso_lib.Gso) and gso.mode == "band":
         from graph_neural_networks_tpu.ops import attention_band as ab
         return ab.gat_evgf_band(x, a, W, _slab5(gso), gso.band_w, b,

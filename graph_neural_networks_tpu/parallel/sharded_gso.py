@@ -70,6 +70,20 @@ class ShardedGso:
             return self._shift_dp(x)
         return self._shift(x)
 
+    @property
+    def band_attention(self):
+        """Lazy sharded band-attention operator for the GAT family
+        (parallel.attention.ShardedBandAttention); ops.filters routes
+        graph_attention / gat_lsigf / gat_evgf here for ShardedGso GSOs.
+        Requires the ring property."""
+        if getattr(self, "_band_attention", None) is None:
+            from graph_neural_networks_tpu.parallel.attention import (
+                ShardedBandAttention)
+            self._band_attention = ShardedBandAttention(
+                self.mesh, self.partition, self.axis,
+                data_axis=self.data_axis)
+        return self._band_attention
+
     def pad_signal(self, x: np.ndarray) -> np.ndarray:
         return self.partition.pad_signal(x)
 

@@ -514,6 +514,11 @@ def permutation_by_name(name):
         return name
     if name in _PERMS:
         return _PERMS[name]
+    if isinstance(name, str):  # case-insensitive fallback ('rcm' == 'RCM')
+        lowered = {k.lower(): v for k, v in _PERMS.items()
+                   if isinstance(k, str)}
+        if name.lower() in lowered:
+            return lowered[name.lower()]
     raise ValueError(f"unknown node ordering: {name!r}")
 
 
