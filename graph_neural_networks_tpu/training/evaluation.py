@@ -31,12 +31,16 @@ def _maybe_save(model, eval_vars, do_save):
     import pickle
     d = os.path.join(model.saveDir, "evalVars")
     os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, f"{model.name}.pkl"), "wb") as f:
+    # filename parity with reference evaluation.py:85
+    with open(os.path.join(d, f"{model.name}evalVars.pkl"), "wb") as f:
         pickle.dump(eval_vars, f)
 
 
-def evaluate(model, data, doSaveVars: bool = False, **kwargs):
-    """costBest/costLast: data.evaluate on archit(xTest)."""
+def evaluate(model, data, doSaveVars: bool = True, **kwargs):
+    """costBest/costLast: data.evaluate on archit(xTest).
+
+    doSaveVars defaults True like the reference (evaluation.py:36-39):
+    results pickled to saveDir/evalVars/{name}evalVars.pkl."""
     xTest, yTest = data.getSamples("test")
 
     def run(m):
@@ -48,8 +52,9 @@ def evaluate(model, data, doSaveVars: bool = False, **kwargs):
     return result
 
 
-def evaluate_single_node(model, data, **kwargs):
-    """Same, through singleNodeForward with test-set label ids."""
+def evaluate_single_node(model, data, doSaveVars: bool = True, **kwargs):
+    """Same, through singleNodeForward with test-set label ids.
+    Saves evalVars like the reference (evaluation.py:160-166)."""
     xTest, yTest = data.getSamples("test")
     ids = data.getLabelID("test")
 
@@ -58,7 +63,9 @@ def evaluate_single_node(model, data, **kwargs):
             m.params, jnp.asarray(xTest, jnp.float32), list(ids))
         return float(data.evaluate(np.asarray(yHat), yTest))
     out = _with_checkpoints(model, run)
-    return {"costBest": out.get("Best"), "costLast": out.get("Last")}
+    result = {"costBest": out.get("Best"), "costLast": out.get("Last")}
+    _maybe_save(model, result, doSaveVars)
+    return result
 
 
 evaluateSingleNode = evaluate_single_node

@@ -63,6 +63,9 @@ def test_trainer_source_localization(G, tmp_path):
     assert res["costBest"] is not None and res["costBest"] <= 1.0
     # better than chance on this easy short-diffusion task
     assert res["costBest"] < 0.67
+    # evalVars saved by default with the reference's filename layout
+    assert os.path.exists(os.path.join(str(tmp_path), "evalVars",
+                                       "selGNNevalVars.pkl"))
 
 
 def test_trainer_resume(G, tmp_path):
