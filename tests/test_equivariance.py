@@ -127,6 +127,53 @@ def test_edge_attention_equivariant(setup):
     np.testing.assert_allclose(y_p, y[..., perm], atol=1e-4, rtol=1e-3)
 
 
+def test_gcat_equivariant_all_modes(setup):
+    """GCAT (gat_lsigf) is permutation-equivariant on the dense, band and
+    edge-list attention paths (the band path's bandwidth adapts to the
+    relabeled graph)."""
+    from graph_neural_networks_tpu.ops import attention_sparse as asp
+    S, x, S_p, x_p, perm = setup
+    P = 2
+    h = RNG.standard_normal((E, K)) * 0.5
+    a = RNG.standard_normal((P, E, 2 * F)) * 0.5
+    W = RNG.standard_normal((P, E, F, G)) * 0.5
+    j = lambda v: jnp.asarray(v, jnp.float32)
+    for make in (gso_lib.as_gso,
+                 lambda s: gso_lib.as_gso(s, mode="band"),
+                 asp.build_edge_list):
+        y = np.asarray(filters.gat_lsigf(j(h), j(x), j(a), j(W), make(S)))
+        y_p = np.asarray(filters.gat_lsigf(j(h), j(x_p), j(a), j(W),
+                                           make(S_p)))
+        np.testing.assert_allclose(y_p, y[..., perm], atol=1e-4, rtol=1e-3)
+
+
+def test_gat_evgf_equivariant(setup):
+    """Attention-parameterized EVGF is permutation-equivariant (dense and
+    band modes)."""
+    S, x, S_p, x_p, perm = setup
+    P = 2
+    a = RNG.standard_normal((P, K, E, 2 * F)) * 0.5
+    W = RNG.standard_normal((P, K, E, F, G)) * 0.5
+    j = lambda v: jnp.asarray(v, jnp.float32)
+    for make in (gso_lib.as_gso, lambda s: gso_lib.as_gso(s, mode="band")):
+        y = np.asarray(filters.gat_evgf(j(x), j(a), j(W), make(S)))
+        y_p = np.asarray(filters.gat_evgf(j(x_p), j(a), j(W), make(S_p)))
+        np.testing.assert_allclose(y_p, y[..., perm], atol=1e-4, rtol=1e-3)
+
+
+def test_band_attention_equivariant(setup):
+    """Band-mode GAT attention is permutation-equivariant."""
+    S, x, S_p, x_p, perm = setup
+    P = 2
+    a = RNG.standard_normal((P, E, 2 * F)) * 0.5
+    W = RNG.standard_normal((P, E, F, G)) * 0.5
+    j = lambda v: jnp.asarray(v, jnp.float32)
+    band = lambda s: gso_lib.as_gso(s, mode="band")
+    y = np.asarray(filters.graph_attention(j(x), j(a), j(W), band(S)))
+    y_p = np.asarray(filters.graph_attention(j(x_p), j(a), j(W), band(S_p)))
+    np.testing.assert_allclose(y_p, y[..., perm], atol=1e-4, rtol=1e-3)
+
+
 def test_evgf_edges_equivariant(setup):
     """Edge-list EVGF: permuting nodes + permuting the per-edge weights
     accordingly commutes with filtering."""
