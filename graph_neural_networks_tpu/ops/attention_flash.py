@@ -126,7 +126,11 @@ def _make_apply_kernel(W, with_s, slope):
             e = jax.nn.leaky_relu(pre, negative_slope=slope)
             e = e * m - (1.0 - m) * INFINITE
             al = jnp.exp(e - mx_refs[k][0, 0, 0].astype(jnp.float32)[:, None])
-            al = al / sm_refs[k][0, 0, 0].astype(jnp.float32)[:, None] * m
+            # guard: zero-filled stats beyond the global graph ends (the
+            # sharded ext layout's ppermute boundary) would give 0/0 under
+            # an all-zero mask; masked cells must be 0, not NaN
+            sm = jnp.maximum(sm_refs[k][0, 0, 0].astype(jnp.float32), 1e-30)
+            al = al / sm[:, None] * m
             coeff = al * slab_ref[0, k].astype(jnp.float32) if with_s else al
             d = jnp.dot(v_refs[k][0].astype(jnp.float32), coeff,
                         preferred_element_type=jnp.float32)
@@ -289,6 +293,116 @@ def _bwd_call(a1x, a2x, v, rowmax, rowsum, slab_row, mask_row, g, w, ibs,
                                    axis=1)[:, :, k]
               for k in range(W))                         # (Q, nb, ibs)
     return da2.reshape(Q, Np), da1.reshape(Q, Np), dv
+
+
+# ---------------------------------------------------------------------------
+# Ext-layout calls (shard-local step of parallel.attention: halo'd inputs
+# carry w extra blocks per side, so the window maps are plain offsets
+# j+k into the ext arrays instead of the clipped single-array windows)
+# ---------------------------------------------------------------------------
+
+def _ext4(k):
+    return lambda q, j: (q, j + k, 0, 0)
+
+
+def _ext3(k):
+    return lambda q, j: (q, 0, j + k)
+
+
+def _stats_ext_call(a1_ext, a2x, mask_row, w, ibs, slope, interpret):
+    """Row softmax stats for the shard's OWN rows; a1_ext (Q, Np+2*w*ibs)
+    halo-extended, a2x (Q, Np) own, mask_row (nbl, W, ibs, ibs) global-
+    column layout. Returns mx, sm as (Q, nbl, 1, ibs) f32."""
+    Q, Np = a2x.shape
+    nbl = Np // ibs
+    W = 2 * w + 1
+    a1b = a1_ext.reshape(Q, nbl + 2 * w, 1, ibs)
+    a2b = a2x.reshape(Q, nbl, 1, ibs)
+    return pl.pallas_call(
+        _make_stats_kernel(W, slope),
+        grid=(Q, nbl),
+        in_specs=[pl.BlockSpec((1, 1, 1, ibs), lambda q, j: (q, j, 0, 0))]
+        + [pl.BlockSpec((1, 1, 1, ibs), _ext4(k)) for k in range(W)]
+        + [pl.BlockSpec((1, W, ibs, ibs), lambda q, j: (j, 0, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 1, 1, ibs), lambda q, j: (q, j, 0, 0)),
+                   pl.BlockSpec((1, 1, 1, ibs), lambda q, j: (q, j, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((Q, nbl, 1, ibs), jnp.float32),
+                   jax.ShapeDtypeStruct((Q, nbl, 1, ibs), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(a2b, *([a1b] * W), mask_row)
+
+
+def _apply_ext_call(a1x, a2_ext, v_ext, mx_ext, sm_ext, slab_col, mask_col,
+                    w, ibs, with_s, slope, interpret):
+    """Alpha recompute + aggregation for the shard's OWN output columns.
+    a1x (Q, Np) own; a2_ext/mx_ext/sm_ext (Q, Np+2*w*ibs) and v_ext
+    (Q, F, Np+2*w*ibs) halo-extended rows; slab_col/mask_col
+    (nbl, W, ibs, ibs). Returns (Q, F, Np)."""
+    Q, F, _ = v_ext.shape
+    Np = a1x.shape[1]
+    nbl = Np // ibs
+    W = 2 * w + 1
+    a1b = a1x.reshape(Q, nbl, 1, ibs)
+    a2b = a2_ext.reshape(Q, nbl + 2 * w, 1, ibs)
+    mxb = mx_ext.reshape(Q, nbl + 2 * w, 1, ibs)
+    smb = sm_ext.reshape(Q, nbl + 2 * w, 1, ibs)
+    return pl.pallas_call(
+        _make_apply_kernel(W, with_s, slope),
+        grid=(Q, nbl),
+        in_specs=[pl.BlockSpec((1, F, ibs), _ext3(k)) for k in range(W)]
+        + [pl.BlockSpec((1, 1, 1, ibs), _ext4(k)) for k in range(W)]
+        + [pl.BlockSpec((1, 1, 1, ibs), _ext4(k)) for k in range(W)]
+        + [pl.BlockSpec((1, 1, 1, ibs), _ext4(k)) for k in range(W)]
+        + [pl.BlockSpec((1, 1, 1, ibs), lambda q, j: (q, j, 0, 0)),
+           pl.BlockSpec((1, W, ibs, ibs), lambda q, j: (j, 0, 0, 0)),
+           pl.BlockSpec((1, W, ibs, ibs), lambda q, j: (j, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, F, ibs), lambda q, j: (q, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((Q, F, Np), v_ext.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(*([v_ext] * W), *([a2b] * W), *([mxb] * W), *([smb] * W),
+      a1b, slab_col, mask_col)
+
+
+def _bwd_ext_call(a1_ext, a2x, v, mx, sm, slab_row, mask_row, g_ext,
+                  w, ibs, with_s, slope, interpret):
+    """Flash backward for the shard's OWN rows. g_ext (Q, F, Np+2*w*ibs)
+    halo-extended cotangent; v/a2x/mx/sm own rows; slab_row/mask_row
+    (nbl, W, ibs, ibs) global-column row layout. Returns da2 (Q, Np),
+    da1p window partials (Q, nbl, W, ibs) in EXT column coords
+    (column block = j + k), dv (Q, F, Np)."""
+    Q, F, Np = v.shape
+    nbl = Np // ibs
+    W = 2 * w + 1
+    a1b = a1_ext.reshape(Q, nbl + 2 * w, 1, ibs)
+    a2b = a2x.reshape(Q, nbl, 1, ibs)
+    mxb = mx.reshape(Q, nbl, 1, ibs)
+    smb = sm.reshape(Q, nbl, 1, ibs)
+    da2, da1p, dv = pl.pallas_call(
+        _make_bwd_kernel(W, ibs, with_s, slope),
+        grid=(Q, nbl),
+        in_specs=[pl.BlockSpec((1, F, ibs), _ext3(k)) for k in range(W)]
+        + [pl.BlockSpec((1, 1, 1, ibs), _ext4(k)) for k in range(W)]
+        + [pl.BlockSpec((1, F, ibs), lambda q, j: (q, 0, j)),
+           pl.BlockSpec((1, 1, 1, ibs), lambda q, j: (q, j, 0, 0)),
+           pl.BlockSpec((1, W, ibs, ibs), lambda q, j: (j, 0, 0, 0)),
+           pl.BlockSpec((1, W, ibs, ibs), lambda q, j: (j, 0, 0, 0)),
+           pl.BlockSpec((1, 1, 1, ibs), lambda q, j: (q, j, 0, 0)),
+           pl.BlockSpec((1, 1, 1, ibs), lambda q, j: (q, j, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 1, 1, ibs), lambda q, j: (q, j, 0, 0)),
+                   pl.BlockSpec((1, 1, W, ibs), lambda q, j: (q, j, 0, 0)),
+                   pl.BlockSpec((1, F, ibs), lambda q, j: (q, 0, j))],
+        out_shape=[jax.ShapeDtypeStruct((Q, nbl, 1, ibs), jnp.float32),
+                   jax.ShapeDtypeStruct((Q, nbl, W, ibs), jnp.float32),
+                   jax.ShapeDtypeStruct((Q, F, Np), v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(*([g_ext] * W), *([a1b] * W), v, a2b, slab_row, mask_row, mxb, smb)
+    return da2.reshape(Q, Np), da1p, dv
 
 
 # ---------------------------------------------------------------------------

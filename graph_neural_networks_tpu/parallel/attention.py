@@ -75,6 +75,27 @@ def _row_col_masks(part: GraphPartition):
             (mr > 0).astype(np.float32).reshape(shape))
 
 
+def _row_slabs(part: GraphPartition):
+    """Host-side S in ROW window layout, (P, E, nbl, W, ibs, ibs):
+    out[p, e, i, k] = S_e[rows of block i, cols of block i+k-w] with
+    GLOBAL column indexing — boundary rows' windows reach into neighbor
+    shards' columns (zero beyond the global ends). The flash backward
+    kernel consumes this."""
+    ibs, nbl, w = part.inner_bs, part.nbl, part.w
+    W = 2 * w + 1
+    total_nb = part.n_parts * nbl
+    E = len(part.S_csr)
+    sr = np.zeros((E, total_nb, W, ibs, ibs), np.float32)
+    for e, csr in enumerate(part.S_csr):
+        coo = csr.tocoo()
+        keep = np.abs(coo.data) > 1e-9
+        r, c, v = coo.row[keep], coo.col[keep], coo.data[keep]
+        br, bc = r // ibs, c // ibs
+        np.add.at(sr[e], (br, bc - br + w, r % ibs, c % ibs), v)
+    return sr.reshape(E, part.n_parts, nbl, W, ibs, ibs) \
+        .transpose(1, 0, 2, 3, 4, 5)
+
+
 def _win(blocks, n_out, W, axis):
     """Windowed stack: out[..., j, k, ...] = blocks[..., j+k, ...] for
     j in [0, n_out), k in [0, W) along `axis` (block axis)."""
@@ -94,7 +115,8 @@ class ShardedBandAttention:
     """
 
     def __init__(self, mesh: Mesh, part: GraphPartition,
-                 axis: str = "graph", data_axis: Optional[str] = None):
+                 axis: str = "graph", data_axis: Optional[str] = None,
+                 local_flash: Optional[bool] = None):
         assert part.is_ring, (
             f"sharded attention needs the ring property (w={part.w} <= "
             f"nbl={part.nbl}); re-partition with a locality order")
@@ -110,6 +132,18 @@ class ShardedBandAttention:
         self.mask_col = mc                    # (P, nbl, W, ibs, ibs)
         self.mask_row = mr
         self.slabs = np.asarray(part.slabs)   # (P, E, nbl, W, ibs, ibs)
+        # shard-local step: fused flash kernels on TPU (alpha never
+        # materialized), the windowed XLA einsums elsewhere;
+        # local_flash=True forces the kernels (interpret-mode on CPU,
+        # for tests), False forces the XLA path.
+        if local_flash is None:
+            import os
+            platform = mesh.devices.flat[0].platform
+            local_flash = (platform == "tpu"
+                           and part.inner_bs % 128 == 0
+                           and not os.environ.get("GNT_NO_FLASH"))
+        self.use_flash = bool(local_flash)
+        self.slab_row = _row_slabs(part) if self.use_flash else None
         self._fns = {}
 
     # -- the sharded apply ------------------------------------------------
@@ -191,6 +225,108 @@ class ShardedBandAttention:
 
         return _apply
 
+    # -- the sharded apply, flash shard-local step ------------------------
+    def _make_flash(self, with_s: bool, dp: bool):
+        """Same exchange schedule as :meth:`_make`, but the shard-local
+        stats / aggregation / backward run the fused flash kernels
+        (ops.attention_flash ext-layout calls) under a custom VJP — the
+        coefficient tensor never exists, not even shard-locally. The
+        backward halo-exchanges the cotangent and halo-folds the d_a1x
+        window partials (the transpose of halo_ext)."""
+        from graph_neural_networks_tpu.ops import attention_flash as af
+        part, axis = self.part, self.axis
+        w, nbl, ibs = part.w, part.nbl, part.inner_bs
+        W = 2 * w + 1
+        halo = part.halo
+        n_dev = self.mesh.shape[axis]
+        fwd = [(i, i + 1) for i in range(n_dev - 1)]
+        bwd = [(i + 1, i) for i in range(n_dev - 1)]
+        data_axis = self.data_axis if dp else None
+        interpret = self.mesh.devices.flat[0].platform != "tpu"
+        slope = 0.2
+
+        def halo_ext(t):
+            if halo == 0:
+                return t
+            left = jax.lax.ppermute(t[..., -halo:], axis, fwd)
+            right = jax.lax.ppermute(t[..., :halo], axis, bwd)
+            return jnp.concatenate([left, t, right], axis=-1)
+
+        def halo_fold(t_ext):
+            """Transpose of halo_ext: fold the ext edges back onto the
+            neighbors that own them."""
+            if halo == 0:
+                return t_ext
+            left, mid, right = (t_ext[..., :halo], t_ext[..., halo:-halo],
+                                t_ext[..., -halo:])
+            from_right = jax.lax.ppermute(left, axis, bwd)
+            from_left = jax.lax.ppermute(right, axis, fwd)
+            return (mid.at[..., -halo:].add(from_right)
+                       .at[..., :halo].add(from_left))
+
+        def _fwd_impl(a1, a2, v, slab_col, mcol, mrow):
+            Q = a1.shape[0]
+            a1_ext = halo_ext(a1)
+            a2_ext = halo_ext(a2)
+            v_ext = halo_ext(v)
+            mx, sm = af._stats_ext_call(a1_ext, a2, mrow, w, ibs, slope,
+                                        interpret)
+            mxf = mx.reshape(Q, nbl * ibs)
+            smf = sm.reshape(Q, nbl * ibs)
+            mx_ext = halo_ext(mxf)
+            sm_ext = halo_ext(smf)
+            y = af._apply_ext_call(a1, a2_ext, v_ext, mx_ext, sm_ext,
+                                   slab_col, mcol, w, ibs, with_s, slope,
+                                   interpret)
+            return y, (a1_ext, mxf, smf)
+
+        @jax.custom_vjp
+        def local(a1, a2, v, slab_col, slab_row, mcol, mrow):
+            return _fwd_impl(a1, a2, v, slab_col, mcol, mrow)[0]
+
+        def local_fwd(a1, a2, v, slab_col, slab_row, mcol, mrow):
+            y, (a1_ext, mxf, smf) = _fwd_impl(a1, a2, v, slab_col, mcol,
+                                              mrow)
+            return y, (a1_ext, a2, v, mxf, smf, slab_col, slab_row, mrow,
+                       mcol)
+
+        def local_bwd(res, dy):
+            a1_ext, a2, v, mxf, smf, slab_col, slab_row, mrow, mcol = res
+            Q = a2.shape[0]
+            dy_ext = halo_ext(dy)
+            da2, da1p, dv = af._bwd_ext_call(
+                a1_ext, a2, v, mxf, smf, slab_row, mrow, dy_ext, w, ibs,
+                with_s, slope, interpret)
+            # fold the window partials into ext columns (block j+k), then
+            # halo-fold the out-of-shard columns back to their owners
+            da1_ext = jnp.zeros((Q, nbl + 2 * w, ibs), jnp.float32)
+            for k in range(W):
+                da1_ext = da1_ext.at[:, k:k + nbl].add(da1p[:, :, k])
+            da1 = halo_fold(da1_ext.reshape(Q, (nbl + 2 * w) * ibs))
+            return (da1.astype(a2.dtype), da2.astype(a2.dtype),
+                    dv.astype(v.dtype), jnp.zeros_like(slab_col),
+                    jnp.zeros_like(slab_row), jnp.zeros_like(mcol),
+                    jnp.zeros_like(mrow))
+
+        local.defvjp(local_fwd, local_bwd)
+
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(data_axis, axis), P(data_axis, axis),
+                      P(data_axis, None, axis),
+                      P(axis, None, None, None, None),
+                      P(axis, None, None, None, None),
+                      P(axis, None, None, None, None),
+                      P(axis, None, None, None, None)),
+            out_specs=P(data_axis, None, axis),
+            check_vma=False)   # pallas_call out_shapes carry no vma info
+        def _apply(a1_blk, a2_blk, v_blk, slab_blk, slabr_blk, mcol_blk,
+                   mrow_blk):
+            return local(a1_blk, a2_blk, v_blk, slab_blk[0], slabr_blk[0],
+                         mcol_blk[0], mrow_blk[0])
+
+        return _apply
+
     def apply(self, a1x, a2x, v, e: int = 0, with_s: bool = True):
         """One sharded attention application.
 
@@ -203,7 +339,16 @@ class ShardedBandAttention:
         dp = bool(self.data_axis) and Q % n_data == 0
         key = (with_s, dp)
         if key not in self._fns:
-            self._fns[key] = self._make(with_s, e, dp)
+            self._fns[key] = (self._make_flash(with_s, dp) if self.use_flash
+                              else self._make(with_s, e, dp))
+        if self.use_flash:
+            F = v.shape[1]
+            Fp = -(-F // 8) * 8          # sublane multiple for the kernels
+            vp = v if Fp == F else jnp.pad(v, ((0, 0), (0, Fp - F), (0, 0)))
+            y = self._fns[key](a1x, a2x, vp, self.slabs[:, e],
+                               self.slab_row[:, e], self.mask_col,
+                               self.mask_row)
+            return y[:, :F]
         return self._fns[key](a1x, a2x, v, self.slabs[:, e],
                               self.mask_col, self.mask_row)
 

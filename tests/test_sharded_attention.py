@@ -91,6 +91,52 @@ def test_sharded_gcat_matches_dense(mesh):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+def test_sharded_flash_matches_dense(mesh):
+    """Sharded attention with the flash shard-local kernels (interpret
+    mode on the CPU mesh) == dense reference attention."""
+    part, xp, a, W_p, Sd = _setup(seed=21)
+    sattn = sha.ShardedBandAttention(mesh, part, data_axis="data",
+                                     local_flash=True)
+    assert sattn.use_flash
+    with mesh:
+        got = np.asarray(sha.sharded_graph_attention(xp, a, W_p, sattn))
+    want = np.asarray(filters.graph_attention(xp, a, W_p, Sd))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_flash_grads_match_dense(mesh):
+    """Gradients through the flash shard-local custom VJP (cotangent
+    halo exchange + d_a1x halo fold) == dense autodiff."""
+    part, xp, a, W_p, Sd = _setup(seed=22)
+    sattn = sha.ShardedBandAttention(mesh, part, local_flash=True)
+
+    def loss_sharded(x, a, W):
+        return jnp.sum(sha.sharded_graph_attention(x, a, W, sattn) ** 2)
+
+    def loss_dense(x, a, W):
+        return jnp.sum(filters.graph_attention(x, a, W, Sd) ** 2)
+
+    with mesh:
+        gs = jax.grad(loss_sharded, argnums=(0, 1, 2))(xp, a, W_p)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(xp, a, W_p)
+    for got, want, name in zip(gs, gd, ("x", "a", "W")):
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3,
+                                   err_msg=name)
+
+
+def test_sharded_flash_gcat_matches_dense(mesh):
+    """Flash shard-local step with with_s=False (the GCAT alpha-alone
+    shift) == dense GCAT."""
+    part, xp, a, W_p, Sd = _setup(seed=23)
+    h = jnp.asarray(np.random.default_rng(9).random((1, 3)), jnp.float32)
+    sattn = sha.ShardedBandAttention(mesh, part, data_axis="data",
+                                     local_flash=True)
+    with mesh:
+        got = np.asarray(sha.sharded_gat_lsigf(h, xp, a, W_p, sattn))
+    want = np.asarray(filters.gat_lsigf(h, xp, a, W_p, Sd))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_filters_route_sharded_gso(mesh):
     """filters.graph_attention / gat_lsigf with a ShardedGso transparently
     run the sharded band-attention path."""
