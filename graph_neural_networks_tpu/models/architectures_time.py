@@ -20,11 +20,14 @@ from flax import linen as nn
 from graph_neural_networks_tpu.models import layers as gll
 from graph_neural_networks_tpu.models.architectures import (
     MLP, _as_tuple, resolve_activation)
+from graph_neural_networks_tpu.ops import filters
 
 __all__ = ["LocalGNN_DB", "GraphRecurrentNN_DB", "AggregationGNN_DB"]
 
 
 def _normalize_S(S):
+    if isinstance(S, filters.ell_lib.EllGso):
+        return S                  # O(N·deg) padded-neighbor layout
     S = jnp.asarray(S, jnp.float32)
     if S.ndim == 4:               # B x T x N x N -> add E
         S = S[:, :, None]
@@ -191,7 +194,7 @@ class _AggDBCore(nn.Module):
         for _ in range(1, self.n_exchanges + 1):
             xe = jnp.concatenate(
                 [jnp.zeros_like(xe[:, :1]), xe[:, :-1]], axis=1)
-            xe = jnp.einsum("btefn,btenm->btefm", xe, S)
+            xe = filters.db_graph_shift(xe, S)
             zs.append(xe)
         z = jnp.stack(zs, axis=2)          # B x T x (nExch+1) x E x F x N
         z = jnp.sum(z, axis=3)             # B x T x (nExch+1) x F x N

@@ -20,6 +20,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from graph_neural_networks_tpu.ops import ell as ell_lib
 from graph_neural_networks_tpu.ops import gso as gso_lib
 
 INFINITE = 1e12  # the reference's additive -inf for masked softmax (graphML.py:73)
@@ -315,23 +316,32 @@ def gat_evgf(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
 # Time-varying (delayed, batch GSO) functionals
 # ---------------------------------------------------------------------------
 
-def lsigf_db(h: jnp.ndarray, S: jnp.ndarray, x: jnp.ndarray,
+def db_graph_shift(xe: jnp.ndarray, S) -> jnp.ndarray:
+    """One per-(batch,time) graph shift of xe: (B,T,E,G,N); S is a dense
+    (B,T,E,N,N) stack or an ell.EllGso with leading axes (B,T)."""
+    if isinstance(S, ell_lib.EllGso):
+        return ell_lib.ell_shift(xe, S)
+    return jnp.einsum("btegn,btenm->btegm", xe, S)
+
+
+def lsigf_db(h: jnp.ndarray, S, x: jnp.ndarray,
              b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Delayed LSIGF over a per-(batch, time) GSO.
 
     y(t) = sum_k h_k x(t-k) S(t-k+1)...S(t) (unit-delay information
     propagation for decentralized controllers). Reference:
-    graphML.py:977-1094. h: (F,E,K,G), S: (B,T,E,N,N), x: (B,T,G,N).
+    graphML.py:977-1094. h: (F,E,K,G), x: (B,T,G,N); S: dense
+    (B,T,E,N,N) or an O(N·deg) ell.EllGso.
     """
     F, E, K, G = h.shape
-    B, T, _, N, _ = S.shape
+    B, T, _, N = x.shape
     xe = jnp.broadcast_to(x[:, :, None], (B, T, E, G, N))
     zs = [xe]
     for _ in range(1, K):
         # shift down the time axis (zero-pad t=0), then shift on the graph
         xe = jnp.concatenate(
             [jnp.zeros_like(xe[:, :1]), xe[:, :-1]], axis=1)
-        xe = jnp.einsum("btegn,btenm->btegm", xe, S)
+        xe = db_graph_shift(xe, S)
         zs.append(xe)
     z = jnp.stack(zs, axis=2)                             # B x T x K x E x G x N
     y = jnp.einsum("btkegn,fekg->btfn", z, h)
@@ -347,12 +357,21 @@ def grnn_db(a: jnp.ndarray, b_taps: jnp.ndarray, S: jnp.ndarray,
     states. Reference: graphML.py:1096-1290 (python t-loop) re-expressed as
     ``lax.scan``.
 
-    a: (H,E,K,F), b_taps: (H,E,K,H), S: (B,T,E,N,N), x: (B,T,F,N),
-    z0: (B,H,N) -> z: (B,T,H,N).
+    a: (H,E,K,F), b_taps: (H,E,K,H), x: (B,T,F,N), z0: (B,H,N)
+    -> z: (B,T,H,N); S: dense (B,T,E,N,N) or an ell.EllGso.
     """
     H, E, K, F = a.shape
-    B, T, _, N, _ = S.shape
+    B, T, _, N = x.shape
     Ax = lsigf_db(a, S, x, b=x_bias)                       # B x T x H x N
+
+    def step_shift(reg, S_t):
+        # reg: (B, K-1, E, H, N); S_t has leading axes (B,)
+        if isinstance(S_t, ell_lib.EllGso):
+            k = reg.shape[1]
+            r = reg.transpose(0, 2, 1, 3, 4).reshape(B, E, k * H, N)
+            r = ell_lib.ell_shift(r, S_t)
+            return r.reshape(B, E, k, H, N).transpose(0, 2, 1, 3, 4)
+        return jnp.einsum("bkejn,benm->bkejm", reg, S_t)
 
     def apply_b(reg):
         # reg: B x K x E x H x N ;  Bz[b,h,n] = sum_{e,k,h'} b[h,e,k,h'] reg[b,k,e,h',n]
@@ -368,7 +387,7 @@ def grnn_db(a: jnp.ndarray, b_taps: jnp.ndarray, S: jnp.ndarray,
         z_prev, reg = carry
         S_t, Ax_t = inp
         # delay the register: drop the oldest, shift all by S_t, prepend z_{t-1}
-        shifted = jnp.einsum("bkejn,benm->bkejm", reg[:, :K - 1], S_t)
+        shifted = step_shift(reg[:, :K - 1], S_t)
         reg = jnp.concatenate(
             [jnp.broadcast_to(z_prev[:, None, None], (B, 1, E, H, N)),
              shifted], axis=1)
@@ -376,7 +395,9 @@ def grnn_db(a: jnp.ndarray, b_taps: jnp.ndarray, S: jnp.ndarray,
         return (z_new, reg), z_new
 
     if T > 1:
-        xs = (jnp.moveaxis(S[:, 1:], 1, 0), jnp.moveaxis(Ax[:, 1:], 1, 0))
+        S_rest = jax.tree_util.tree_map(
+            lambda s: jnp.moveaxis(s[:, 1:], 1, 0), S)
+        xs = (S_rest, jnp.moveaxis(Ax[:, 1:], 1, 0))
         (_, _), z_rest = jax.lax.scan(step, (z_t, reg0), xs)
         z = jnp.concatenate([z_t[:, None], jnp.moveaxis(z_rest, 0, 1)], axis=1)
     else:

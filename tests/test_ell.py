@@ -1,0 +1,163 @@
+"""ELL (padded in-neighbor) time-varying GSO: parity vs the dense DB path.
+
+The dense references here are this package's own lsigf_db / grnn_db /
+AggregationGNN_DB dense contractions, which are themselves parity-tested
+against the torch reference (test_reference_parity.py) — so ELL parity
+chains back to reference behavior (graphML.py:977-1290).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_neural_networks_tpu.ops import ell as ell_lib
+from graph_neural_networks_tpu.ops import filters
+from graph_neural_networks_tpu.models import architectures_time as archt
+
+
+def _random_db_gso(rng, B, T, E, N, deg):
+    """Sparse random per-(b,t) GSO with in-degree <= deg."""
+    S = np.zeros((B, T, E, N, N))
+    for b in range(B):
+        for t in range(T):
+            for m in range(N):
+                nbrs = rng.choice(N, size=rng.integers(1, deg + 1),
+                                  replace=False)
+                S[b, t, :, nbrs, m] = rng.standard_normal((len(nbrs), E))
+    return S
+
+
+def test_ell_from_dense_roundtrip_shift():
+    rng = np.random.default_rng(0)
+    B, T, E, G, N, deg = 2, 3, 2, 4, 12, 3
+    S = _random_db_gso(rng, B, T, E, N, deg)
+    x = jnp.asarray(rng.standard_normal((B, T, E, G, N)), jnp.float32)
+    ell = ell_lib.ell_from_dense(S)
+    assert ell.d <= deg
+    y_ell = ell_lib.ell_shift(x, ell)
+    y_dense = jnp.einsum("btegn,btenm->btegm", x,
+                         jnp.asarray(S, jnp.float32))
+    np.testing.assert_allclose(y_ell, y_dense, rtol=1e-5, atol=1e-5)
+
+
+def test_ell_topk_matches_from_dense():
+    rng = np.random.default_rng(1)
+    B, T, E, N, deg = 2, 2, 1, 10, 4
+    S = _random_db_gso(rng, B, T, E, N, deg)
+    ell_np = ell_lib.ell_from_dense(S, d_max=deg)
+    ell_jx = jax.jit(lambda s: ell_lib.ell_topk(s, deg))(
+        jnp.asarray(S, jnp.float32))
+    x = jnp.asarray(rng.standard_normal((B, T, E, 3, N)), jnp.float32)
+    np.testing.assert_allclose(ell_lib.ell_shift(x, ell_jx),
+                               ell_lib.ell_shift(x, ell_np),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lsigf_db_ell_parity_and_grads():
+    rng = np.random.default_rng(2)
+    B, T, E, G, F, K, N, deg = 2, 5, 2, 3, 4, 3, 14, 3
+    S = _random_db_gso(rng, B, T, E, N, deg)
+    h = jnp.asarray(rng.standard_normal((F, E, K, G)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, T, G, N)), jnp.float32)
+    Sd = jnp.asarray(S, jnp.float32)
+    ell = ell_lib.ell_from_dense(S)
+
+    y_dense = filters.lsigf_db(h, Sd, x)
+    y_ell = filters.lsigf_db(h, ell, x)
+    np.testing.assert_allclose(y_ell, y_dense, rtol=1e-4, atol=1e-5)
+
+    def loss_d(h, x):
+        return jnp.sum(filters.lsigf_db(h, Sd, x) ** 2)
+
+    def loss_e(h, x):
+        return jnp.sum(filters.lsigf_db(h, ell, x) ** 2)
+
+    gd = jax.grad(loss_d, argnums=(0, 1))(h, x)
+    ge = jax.grad(loss_e, argnums=(0, 1))(h, x)
+    for a, b in zip(ge, gd):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_grnn_db_ell_parity():
+    rng = np.random.default_rng(3)
+    B, T, E, F, H, K, N, deg = 2, 6, 1, 3, 4, 3, 12, 3
+    S = _random_db_gso(rng, B, T, E, N, deg)
+    a = jnp.asarray(rng.standard_normal((H, E, K, F)) * 0.3, jnp.float32)
+    bt = jnp.asarray(rng.standard_normal((H, E, K, H)) * 0.3, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, T, F, N)), jnp.float32)
+    z0 = jnp.asarray(rng.standard_normal((B, H, N)), jnp.float32)
+    Sd = jnp.asarray(S, jnp.float32)
+    ell = ell_lib.ell_from_dense(S)
+
+    zd = filters.grnn_db(a, bt, Sd, x, z0, jnp.tanh)
+    ze = filters.grnn_db(a, bt, ell, x, z0, jnp.tanh)
+    np.testing.assert_allclose(ze, zd, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("arch_name", ["local", "grnn", "agg"])
+def test_db_architectures_ell_parity(arch_name):
+    rng = np.random.default_rng(4)
+    B, T, N, deg = 2, 6, 16, 4
+    S = _random_db_gso(rng, B, T, 1, N, deg)
+    x = rng.standard_normal((B, T, 6, N)).astype(np.float32)
+    Sd = jnp.asarray(S, jnp.float32)
+    ell = ell_lib.ell_from_dense(S)
+    key = jax.random.PRNGKey(0)
+
+    if arch_name == "local":
+        arch = archt.LocalGNN_DB([6, 8, 8], [3, 3], True, "tanh", [2], 1)
+        params = arch.init(key, N=N, T=T)
+        yd = arch(params, x, Sd)
+        ye = arch(params, x, ell)
+    elif arch_name == "grnn":
+        arch = archt.GraphRecurrentNN_DB(6, 4, 8, [3, 3], True, "tanh",
+                                         "tanh", "tanh", [2], 1)
+        params = arch.init(key, N=N, T=T)
+        z0 = jnp.zeros((B, 8, N))
+        yd = arch(params, x, Sd, z0=z0)
+        ye = arch(params, x, ell, z0=z0)
+    else:
+        arch = archt.AggregationGNN_DB([6, 8], [2], True, "relu",
+                                       "max", [1], [2], 1, 3)
+        params = arch.init(key, N=N, T=T)
+        yd = arch(params, x, Sd)
+        ye = arch(params, x, ell)
+    np.testing.assert_allclose(ye, yd, rtol=1e-4, atol=1e-4)
+
+
+def test_db_training_step_ell_grads():
+    """One gradient step through LocalGNN_DB on the ELL path == dense."""
+    import optax
+    rng = np.random.default_rng(5)
+    B, T, N, deg = 2, 5, 12, 3
+    S = _random_db_gso(rng, B, T, 1, N, deg)
+    x = jnp.asarray(rng.standard_normal((B, T, 6, N)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, T, 2, N)), jnp.float32)
+    Sd = jnp.asarray(S, jnp.float32)
+    ell = ell_lib.ell_from_dense(S)
+    arch = archt.LocalGNN_DB([6, 8, 8], [3, 3], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=N, T=T)
+
+    def loss(p, Sarg):
+        out = arch.core.apply(p, x, Sarg)[0]
+        return jnp.mean((out - y) ** 2)
+
+    gd = jax.grad(loss)(params, Sd)
+    ge = jax.grad(loss)(params, ell)
+    for a, b in zip(jax.tree_util.tree_leaves(ge),
+                    jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_no_dense_at_scale():
+    """ELL stores O(N·D): N=100k fits easily where dense (T,N,N) cannot."""
+    N, B, T, D = 100_000, 1, 2, 8
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, N, (B, T, N, D)).astype(np.int32)
+    val = rng.standard_normal((B, T, 1, N, D)).astype(np.float32)
+    ell = ell_lib.EllGso(jnp.asarray(idx), jnp.asarray(val))
+    x = jnp.asarray(rng.standard_normal((B, T, 1, 2, N)), jnp.float32)
+    y = ell_lib.ell_shift(x, ell)
+    assert y.shape == (B, T, 1, 2, N)
+    assert bool(jnp.isfinite(y).all())
