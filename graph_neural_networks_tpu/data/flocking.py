@@ -22,10 +22,29 @@ import numpy as np
 from graph_neural_networks_tpu.data.base import Data, ZERO_TOL, invert_tensor_ew
 
 
-def _jnp_comm_graph(pos, comm_radius):
+def _lambda_max_power(W, iters: int = 64):
+    """Top eigenvalue of a symmetric nonnegative (B,N,N) matrix by power
+    iteration — O(iters·N²) instead of eigvalsh's O(N³), the large-N path
+    for in-scan graph normalization."""
+    import jax
+    import jax.numpy as jnp
+    B, N, _ = W.shape
+    v = jnp.ones((B, N), W.dtype) / jnp.sqrt(N)
+
+    def body(_, v):
+        w = jnp.einsum("bnm,bn->bm", W, v)
+        return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True),
+                               ZERO_TOL)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    return jnp.einsum("bn,bnm,bm->b", v, W, v)
+
+
+def _jnp_comm_graph(pos, comm_radius, lam_method: str = "eig"):
     """Single-step jnp communication graph (B,2,N) -> (B,N,N), unweighted
     + lambda_max-normalized — the in-scan mirror of
-    compute_communication_graph (reference dataTools.py:2816-3020)."""
+    compute_communication_graph (reference dataTools.py:2816-3020).
+    lam_method 'power' replaces eigvalsh with power iteration (large N)."""
     import jax.numpy as jnp
     diff = pos[:, :, :, None] - pos[:, :, None, :]
     dist_sq = jnp.sum(diff ** 2, axis=1)
@@ -34,7 +53,10 @@ def _jnp_comm_graph(pos, comm_radius):
     N = pos.shape[-1]
     Wk = jnp.where(jnp.eye(N, dtype=bool)[None], 0.0, Wk)
     W = (Wk > ZERO_TOL).astype(pos.dtype)
-    lam = jnp.max(jnp.linalg.eigvalsh(W), axis=-1)
+    if lam_method == "power":
+        lam = _lambda_max_power(W)
+    else:
+        lam = jnp.max(jnp.linalg.eigvalsh(W), axis=-1)
     lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
     return W / lam[:, None, None]
 
@@ -144,6 +166,14 @@ class Flocking(Data):
         return out
 
     get_data = getData
+
+    def comm_graph_ell(self, samplesType, d_max=None):
+        """Stored communication-graph trajectories as an ops.ell.EllGso
+        (O(N·deg) padded in-neighbor layout) — drop-in for the dense
+        (B,T,N,N) stack on every DB architecture."""
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        S = self.getData("commGraph", samplesType)
+        return ell_lib.ell_from_dense(S[:, :, None], d_max=d_max)
 
     # -- initial conditions (reference dataTools.py:3508-3700) --------------
     def compute_initial_positions(self, nAgents, nSamples, commRadius,
@@ -281,16 +311,24 @@ class Flocking(Data):
     computeStates = compute_states
 
     # -- closed-loop rollout (reference dataTools.py:3166-3340) -------------
-    def _scan_rollout(self, T: int, w: int, policy):
+    def _scan_rollout(self, T: int, w: int, policy, ell_degree=None,
+                      lam_method: str = "eig"):
         """Build (and cache) a jitted lax.scan closed-loop rollout: the
         whole T-step env+model loop is ONE compiled program (no host
         round-trip per physics step — the reference pathology at
         dataTools.py:3166; SURVEY.md §7 hard-parts). policy must be
-        traceable: (params, x_hist (B,w,6,N), S_hist (B,w,N,N)) ->
-        (B,w,2,N); its tap at the last window step drives the physics."""
+        traceable: (params, x_hist (B,w,6,N), S_hist) -> (B,w,2,N); its
+        tap at the last window step drives the physics.
+
+        ell_degree=D: the model sees ops.ell.EllGso histories (top-D
+        in-neighbors per step) and the stacked graph trajectory comes
+        back as an EllGso — O(T·N·D) instead of O(T·N²), the large-swarm
+        path. Combine with lam_method='power' to avoid the O(N³)
+        eigvalsh per step."""
         import jax
         import jax.numpy as jnp
-        key = (T, w, id(policy))
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        key = (T, w, id(policy), ell_degree, lam_method)
         cache = getattr(self, "_scan_cache", None)
         if cache is None:
             cache = self._scan_cache = {}
@@ -302,22 +340,46 @@ class Flocking(Data):
 
         def rollout(params, init_pos, init_vel):
             B, _, N = init_pos.shape
-            S0 = _jnp_comm_graph(init_pos, r)
+            S0 = _jnp_comm_graph(init_pos, r, lam_method)
             x0 = _jnp_states(init_pos, init_vel, S0)
             xw = jnp.zeros((B, w, 6, N), init_pos.dtype).at[:, -1].set(x0)
-            Sw = jnp.zeros((B, w, N, N), init_pos.dtype).at[:, -1].set(S0)
+            if ell_degree is None:
+                Sw = jnp.zeros((B, w, N, N),
+                               init_pos.dtype).at[:, -1].set(S0)
+                as_hist = lambda Sw: Sw
+                to_out = lambda S_n: S_n
+            else:
+                e0 = ell_lib.ell_topk(S0[:, None], ell_degree)  # lead (B,)
+                iw = jnp.zeros((B, w, N, ell_degree),
+                               jnp.int32).at[:, -1].set(e0.idx)
+                vw = jnp.zeros((B, w, 1, N, ell_degree),
+                               init_pos.dtype).at[:, -1].set(e0.val)
+                Sw = (iw, vw)
+                as_hist = lambda Sw: ell_lib.EllGso(*Sw)
+                to_out = lambda S_n: ell_lib.ell_topk(S_n[:, None],
+                                                      ell_degree)
+
+            def roll_window(Sw, S_new):
+                if ell_degree is None:
+                    return jnp.concatenate([Sw[:, 1:], S_new[:, None]],
+                                           axis=1)
+                iw, vw = Sw
+                e = S_new
+                return (jnp.concatenate([iw[:, 1:], e.idx[:, None]], axis=1),
+                        jnp.concatenate([vw[:, 1:], e.val[:, None]], axis=1))
 
             def step(carry, _):
                 pos_t, vel_t, xw, Sw = carry
-                y = policy(params, xw, Sw)
+                y = policy(params, xw, as_hist(Sw))
                 a = jnp.clip(y[:, -1], -a_max, a_max)
                 vel_n = a * dt + vel_t
                 pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
-                S_n = _jnp_comm_graph(pos_n, r)
+                S_n = _jnp_comm_graph(pos_n, r, lam_method)
                 x_n = _jnp_states(pos_n, vel_n, S_n)
+                S_out = to_out(S_n)
                 xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
-                Sw = jnp.concatenate([Sw[:, 1:], S_n[:, None]], axis=1)
-                return (pos_n, vel_n, xw, Sw), (pos_n, vel_n, a, x_n, S_n)
+                Sw = roll_window(Sw, S_out)
+                return (pos_n, vel_n, xw, Sw), (pos_n, vel_n, a, x_n, S_out)
 
             carry = (init_pos, init_vel, xw, Sw)
             _, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
@@ -330,7 +392,13 @@ class Flocking(Data):
             zero_a = jnp.zeros_like(acc[:1])
             accel = jnp.concatenate([swap(acc), swap(zero_a)], axis=1)
             states = jnp.concatenate([x0[:, None], swap(xs)], axis=1)
-            graphs = jnp.concatenate([S0[:, None], swap(Ss)], axis=1)
+            if ell_degree is None:
+                graphs = jnp.concatenate([S0[:, None], swap(Ss)], axis=1)
+            else:
+                graphs = jax.tree_util.tree_map(
+                    lambda a0, rest: jnp.concatenate(
+                        [a0[:, None], swap(rest)], axis=1),
+                    ell_lib.ell_topk(S0[:, None], ell_degree), Ss)
             return pos, vel, accel, states, graphs
 
         cache[key] = jax.jit(rollout)
@@ -338,7 +406,8 @@ class Flocking(Data):
 
     def compute_trajectory(self, initPos, initVel, duration, archit=None,
                            accel=None, params=None, rng=None, doPrint=None,
-                           history_window=None, jit=True):
+                           history_window=None, jit=True, ell_degree=None,
+                           lam_method: str = "eig"):
         """Roll the swarm forward. Either apply a given open-loop `accel`
         sequence, or run `archit` (params, x_hist, S_hist) -> accel closed
         loop: at each step the model sees the (zero-padded) history and its
@@ -370,11 +439,19 @@ class Flocking(Data):
             # one compiled lax.scan for the whole closed loop (policy must
             # be traceable and take explicit params; legacy numpy policies
             # pass params=None and fall through to the host loop below)
+            import jax
             import jax.numpy as jnp
-            roll = self._scan_rollout(T, int(history_window), archit)
+            roll = self._scan_rollout(T, int(history_window), archit,
+                                      ell_degree=ell_degree,
+                                      lam_method=lam_method)
             out = roll(params, jnp.asarray(initPos, jnp.float32),
                        jnp.asarray(initVel, jnp.float32))
-            return tuple(np.asarray(o, np.float64) for o in out)
+            # graphs may be an EllGso pytree (ell_degree mode): convert
+            # leaf-wise, keeping integer index dtype
+            return tuple(jax.tree_util.tree_map(
+                lambda a: np.asarray(
+                    a, np.float64 if np.issubdtype(a.dtype, np.floating)
+                    else None), o) for o in out)
 
         accel_out = np.zeros((B, T, 2, N))
         state_hist = np.zeros((B, T, 6, N))

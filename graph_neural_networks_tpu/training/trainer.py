@@ -305,6 +305,10 @@ class TrainerFlocking(Trainer):
         self.probExpert = kwargs.get("probExpert")
         self.doDAGger = self.probExpert is not None
         self.DAGgerType = kwargs.get("DAGgerType", "randomEpoch")
+        # ellDegree=D: feed the train step ops.ell.EllGso graphs (O(N·D))
+        # instead of the dense (B,T,N,N) stack — large-swarm training.
+        # DAGger trajectory storage stays dense numpy (host side).
+        self.ellDegree = kwargs.get("ellDegree")
         super().__init__(model, data, nEpochs, batchSize, **kwargs)
         # training trajectories (kept in numpy; DAGger mutates them)
         self.xAll, self.yAll = data.getSamples("train")
@@ -350,10 +354,15 @@ class TrainerFlocking(Trainer):
             S = np.concatenate([S, SD], 0)
         t0 = _time.perf_counter()
         S5 = S[:, :, None] if S.ndim == 4 else S
+        if self.ellDegree is not None:
+            from graph_neural_networks_tpu.ops import ell as ell_lib
+            S5 = ell_lib.ell_from_dense(S5, d_max=self.ellDegree)
+        else:
+            S5 = jnp.asarray(S5, jnp.float32)
         params, opt_state, loss = self._step(
             self.model.params, self.model.opt_state,
             jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
-            jnp.asarray(S5, jnp.float32), self._next_key())
+            S5, self._next_key())
         self.model.params = params
         self.model.opt_state = opt_state
         self._step_count += 1
@@ -382,9 +391,12 @@ class TrainerFlocking(Trainer):
             arch = self.model.archit
 
             def fn(params, x_hist, S_hist):
+                from graph_neural_networks_tpu.ops import ell as ell_lib
+                if not isinstance(S_hist, ell_lib.EllGso):
+                    S_hist = jnp.asarray(S_hist, jnp.float32)
                 return arch.apply(params,
                                   jnp.asarray(x_hist, jnp.float32),
-                                  jnp.asarray(S_hist, jnp.float32))
+                                  S_hist)
             self._policy_fn = fn
         return self._policy_fn
 

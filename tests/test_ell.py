@@ -161,3 +161,81 @@ def test_ell_no_dense_at_scale():
     y = ell_lib.ell_shift(x, ell)
     assert y.shape == (B, T, 1, 2, N)
     assert bool(jnp.isfinite(y).all())
+
+
+# ---------------------------------------------------------------------------
+# Flocking integration
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def flock():
+    from graph_neural_networks_tpu import data as D
+    return D.Flocking(nAgents=10, commRadius=6.0, repelDist=1.0, nTrain=6,
+                      nValid=2, nTest=2, duration=0.8, samplingTime=0.1,
+                      rng=np.random.default_rng(7))
+
+
+def test_lambda_max_power_matches_eig(flock):
+    from graph_neural_networks_tpu.data.flocking import _lambda_max_power
+    S = flock.getData("commGraph", "train")
+    W = jnp.asarray((np.abs(S[:, 0]) > 0).astype(np.float32))
+    lam_p = _lambda_max_power(W, iters=200)
+    lam_e = jnp.max(jnp.linalg.eigvalsh(W), axis=-1)
+    np.testing.assert_allclose(lam_p, lam_e, rtol=1e-4)
+
+
+def test_flocking_comm_graph_ell(flock):
+    ell = flock.comm_graph_ell("train")
+    S = flock.getData("commGraph", "train")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        S.shape[:2] + (1, 3, S.shape[-1])), jnp.float32)
+    y_e = ell_lib.ell_shift(x, ell)
+    y_d = jnp.einsum("btegn,btenm->btegm", x,
+                     jnp.asarray(S[:, :, None], jnp.float32))
+    np.testing.assert_allclose(y_e, y_d, rtol=1e-5, atol=1e-5)
+
+
+def test_flocking_rollout_ell_parity(flock):
+    """Closed-loop jitted rollout: ELL mode (exact D) reproduces the dense
+    rollout trajectory."""
+    from graph_neural_networks_tpu.ops import ell as E
+
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=10, T=2)
+
+    def policy(p, xw, Sw):
+        if not isinstance(Sw, E.EllGso):
+            Sw = jnp.asarray(Sw, jnp.float32)
+        return arch.apply(p, jnp.asarray(xw, jnp.float32), Sw)
+
+    ip = flock.getData("initPos", "test")
+    iv = flock.getData("initVel", "test")
+    w = arch.causal_window
+    pos_d, vel_d, _, _, graphs_d = flock.compute_trajectory(
+        ip, iv, 0.8, archit=policy, params=params, history_window=w)
+    pos_e, vel_e, _, _, graphs_e = flock.compute_trajectory(
+        ip, iv, 0.8, archit=policy, params=params, history_window=w,
+        ell_degree=10)
+    np.testing.assert_allclose(pos_e, pos_d, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(vel_e, vel_d, rtol=1e-4, atol=1e-4)
+    # graphs come back as an EllGso matching the dense stack
+    assert isinstance(graphs_e, E.EllGso)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (pos_d.shape[0], pos_d.shape[1], 1, 2, 10)), jnp.float32)
+    ge = E.EllGso(jnp.asarray(graphs_e.idx), jnp.asarray(graphs_e.val))
+    y_e = ell_lib.ell_shift(x, ge)
+    y_d = jnp.einsum("btegn,btenm->btegm", x,
+                     jnp.asarray(graphs_d[:, :, None], jnp.float32))
+    np.testing.assert_allclose(y_e, y_d, rtol=1e-4, atol=1e-4)
+
+
+def test_trainer_flocking_ell(flock, tmp_path):
+    """TrainerFlocking with ellDegree: train step runs on the ELL layout."""
+    from graph_neural_networks_tpu import training as T
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    model = T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
+                    T.TrainerFlocking, T.evaluate_flocking, name="flockEll",
+                    saveDir=str(tmp_path), N=10, T=5)
+    out = model.train(flock, nEpochs=1, batchSize=6, validationInterval=4,
+                      ellDegree=9)
+    assert np.isfinite(out["lossTrain"]).all()
