@@ -72,6 +72,11 @@ class EllGso:
     def dtype(self):
         return self.val.dtype
 
+    def db_shift(self, x: jnp.ndarray) -> jnp.ndarray:
+        """One graph shift of x: (*L, E, G, N); overridden by
+        parallel.db.ShardedEllGso with the mesh-sharded version."""
+        return ell_shift(x, self)
+
     def __repr__(self):
         return (f"EllGso(lead={self.idx.shape[:-2]}, N={self.n}, "
                 f"D={self.d}, E={self.n_edge_features})")
@@ -130,13 +135,17 @@ def ell_shift(x: jnp.ndarray, ell: EllGso) -> jnp.ndarray:
     contraction, reference graphML.py:1071): output node m aggregates
     its in-neighbors. One flat gather along the node axis (shared by
     E and G) + one D-length contraction.
+
+    The table may be rectangular: idx/val rows are the output nodes
+    (possibly a shard-local block of them) while x's node axis holds the
+    gather source (possibly the all-gathered global signal).
     """
     idx, val = ell.idx, ell.val
-    *L, E, G, N = x.shape
-    D = idx.shape[-1]
-    idxf = idx.reshape(tuple(L) + (1, 1, N * D))
-    idxf = jnp.broadcast_to(idxf, tuple(L) + (E, G, N * D))
+    *L, E, G, _ = x.shape
+    No, D = idx.shape[-2:]
+    idxf = idx.reshape(tuple(L) + (1, 1, No * D))
+    idxf = jnp.broadcast_to(idxf, tuple(L) + (E, G, No * D))
     xg = jnp.take_along_axis(x, idxf, axis=-1)
-    xg = xg.reshape(tuple(L) + (E, G, N, D))
+    xg = xg.reshape(tuple(L) + (E, G, No, D))
     return jnp.einsum("...egnd,...end->...egn", xg,
                       val.astype(x.dtype))

@@ -318,9 +318,10 @@ def gat_evgf(x: jnp.ndarray, a: jnp.ndarray, W: jnp.ndarray, gso,
 
 def db_graph_shift(xe: jnp.ndarray, S) -> jnp.ndarray:
     """One per-(batch,time) graph shift of xe: (B,T,E,G,N); S is a dense
-    (B,T,E,N,N) stack or an ell.EllGso with leading axes (B,T)."""
+    (B,T,E,N,N) stack or an ell.EllGso (incl. the node-sharded
+    parallel.db.ShardedEllGso) with leading axes (B,T)."""
     if isinstance(S, ell_lib.EllGso):
-        return ell_lib.ell_shift(xe, S)
+        return S.db_shift(xe)
     return jnp.einsum("btegn,btenm->btegm", xe, S)
 
 
@@ -369,7 +370,7 @@ def grnn_db(a: jnp.ndarray, b_taps: jnp.ndarray, S: jnp.ndarray,
         if isinstance(S_t, ell_lib.EllGso):
             k = reg.shape[1]
             r = reg.transpose(0, 2, 1, 3, 4).reshape(B, E, k * H, N)
-            r = ell_lib.ell_shift(r, S_t)
+            r = S_t.db_shift(r)
             return r.reshape(B, E, k, H, N).transpose(0, 2, 1, 3, 4)
         return jnp.einsum("bkejn,benm->bkejm", reg, S_t)
 

@@ -18,3 +18,5 @@ from graph_neural_networks_tpu.parallel.partition import (  # noqa: F401
 from graph_neural_networks_tpu.parallel.shift import (  # noqa: F401
     sharded_gshift_allgather, sharded_gshift_ring, make_dp_train_step)
 from graph_neural_networks_tpu.parallel.sharded_gso import ShardedGso  # noqa: F401
+from graph_neural_networks_tpu.parallel.db import (  # noqa: F401
+    ShardedEllGso, shard_ell)
