@@ -18,7 +18,9 @@ Processing-style GNNs built around the Graph Shift Operator (GSO), with
   * `training`      -- Model/Trainer/evaluator harness with Best/Last
                        checkpointing,
   * `parallel`      -- device-mesh sharding: data parallelism and graph
-                       (node) partition parallelism with halo exchange.
+                       (node) partition parallelism with halo exchange,
+  * `serving`       -- AOT-compiled fixed-shape inference, batch padding,
+                       bf16 mode, StableHLO export (jax.export).
 
 Unlike the reference, the GSO is carried as a structured sparse container
 (`ops.gso.Gso`) and every hot loop is a jitted, statically-shaped XLA
@@ -33,3 +35,4 @@ from graph_neural_networks_tpu import ops  # noqa: F401
 from graph_neural_networks_tpu import models  # noqa: F401
 from graph_neural_networks_tpu import data  # noqa: F401
 from graph_neural_networks_tpu import training  # noqa: F401
+from graph_neural_networks_tpu import serving  # noqa: F401
