@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--saveDir", default="experiments/flocking")
+    ap.add_argument("--nAgents", type=int, default=None,
+                    help="override swarm size (default 50 full / 12 quick)")
+    ap.add_argument("--ellDegree", type=int, default=None,
+                    help="run training + closed-loop rollouts on the "
+                         "O(N*deg) ELL layout (large swarms); also "
+                         "switches rollout graph normalization to power "
+                         "iteration")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -43,10 +50,15 @@ def main():
         nTrain, nValid, nTest, nEpochs, batch = 400, 20, 20, 30, 20
         F, K, H = [6, 64], [3], 64
 
+    if args.nAgents is not None:
+        nAgents = args.nAgents
     print(f"== Flocking: {nAgents} agents, duration {duration}s ==")
     data = D.Flocking(nAgents=nAgents, commRadius=6.0, repelDist=1.0,
                       nTrain=nTrain, nValid=nValid, nTest=nTest,
                       duration=duration, samplingTime=dt, rng=rng)
+    if args.ellDegree is not None:
+        data.rollout_ell_degree = args.ellDegree
+        data.rollout_lam_method = "power"
     T_steps = data.getData("state", "train").shape[1]
     expert_cost = data.evaluate(vel=data.getData("vel", "test"))
     print(f"expert (centralized) cost: {expert_cost:.4f}")
@@ -73,7 +85,8 @@ def main():
                         N=nAgents, T=T_steps)
         print(f"{name}: {model.nParameters} params; training (DAGger)...")
         model.train(data, nEpochs, batch, validationInterval=20,
-                    probExpert=0.993, DAGgerType="randomEpoch")
+                    probExpert=0.993, DAGgerType="randomEpoch",
+                    ellDegree=args.ellDegree)
         res = model.evaluate(data)
         results[name] = res
         print(f"  closed-loop cost: best {res['costBestFull']:.4f} "

@@ -119,6 +119,11 @@ class Flocking(Data):
         self.normalizeGraph = normalizeGraph
         self.doPrint = doPrint
         self.dataType = dataType
+        # defaults for closed-loop rollouts (trainer/evaluator paths):
+        # set rollout_ell_degree=D (+ rollout_lam_method='power') for
+        # large swarms — O(T·N·D) graph histories, no per-step eigvalsh
+        self.rollout_ell_degree = None
+        self.rollout_lam_method = "eig"
         n_samples = nTrain + nValid + nTest
 
         init_pos, init_vel = self.compute_initial_positions(
@@ -418,6 +423,10 @@ class Flocking(Data):
         rollout then feeds only the last `window` steps each call
         (identical outputs by causality, O(T*K) instead of O(T^2))."""
         assert archit is not None or accel is not None
+        if ell_degree is None:
+            ell_degree = self.rollout_ell_degree
+        if lam_method == "eig" and self.rollout_lam_method != "eig":
+            lam_method = self.rollout_lam_method
         initPos = np.asarray(initPos, np.float64)
         initVel = np.asarray(initVel, np.float64)
         B, _, N = initPos.shape

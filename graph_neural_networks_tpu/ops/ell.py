@@ -127,6 +127,24 @@ def ell_topk(S: jnp.ndarray, d_max: int) -> EllGso:
     return EllGso(idx.astype(jnp.int32), val)
 
 
+def ell_to_dense(ell: EllGso) -> np.ndarray:
+    """Host-side scatter of an EllGso back to the dense (*L, E, N, N)
+    stack (small N only — diagnostic / DAGger-storage use)."""
+    idx = np.asarray(ell.idx)
+    val = np.asarray(ell.val)
+    lead = idx.shape[:-2]
+    E, N, D = val.shape[-3:]
+    S = np.zeros(lead + (E, N, N), val.dtype)
+    Sf = S.reshape((-1, E, N, N))
+    idxf = idx.reshape((-1, N, D))
+    valf = val.reshape((-1, E, N, D))
+    m = np.broadcast_to(np.arange(N)[:, None], (N, D))
+    for i in range(Sf.shape[0]):
+        for e in range(E):
+            np.add.at(Sf[i, e], (idxf[i], m), valf[i, e])
+    return S
+
+
 def ell_shift(x: jnp.ndarray, ell: EllGso) -> jnp.ndarray:
     """One graph shift y = x·S on the ELL layout.
 

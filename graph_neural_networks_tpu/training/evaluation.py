@@ -79,8 +79,11 @@ def evaluate_flocking(model, data, nVideos: int = 0, **kwargs):
 
     def run(m):
         def policy(p, x_hist, S_hist):
+            from graph_neural_networks_tpu.ops import ell as ell_lib
+            if not isinstance(S_hist, ell_lib.EllGso):
+                S_hist = jnp.asarray(S_hist, jnp.float32)
             return m.archit.apply(p, jnp.asarray(x_hist, jnp.float32),
-                                  jnp.asarray(S_hist, jnp.float32))
+                                  S_hist)
         pos, vel, _, _, _ = data.compute_trajectory(
             init_pos, init_vel, data.duration, archit=policy,
             params=m.params,

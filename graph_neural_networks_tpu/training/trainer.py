@@ -436,6 +436,10 @@ class TrainerFlocking(Trainer):
             pos, vel, _, states, graphs = data.compute_trajectory(
                 ip, iv, data.duration, archit=policy,
                 params=self.model.params, history_window=window)
+            from graph_neural_networks_tpu.ops import ell as ell_lib
+            if isinstance(graphs, ell_lib.EllGso):
+                # DAGger trajectory storage is dense numpy (B,T,N,N)
+                graphs = ell_lib.ell_to_dense(graphs)[:, :, 0]
             y = self._expert_accel(pos, vel)
             outs.append((states[:keep], y[:keep], graphs[:keep]))
         states = np.concatenate([o[0] for o in outs], 0)
