@@ -342,3 +342,54 @@ def test_pallas_local_contract_matches_einsum(mesh):
                                atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(dx_got), np.asarray(dx_want),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_grnn_shard_matches_dense(mesh, band_graph):
+    """Static-GSO GraphRecurrentNN with arch.shard(): the lax.scan hidden
+    recurrence runs over the node-sharded ring shift, matching the
+    single-device dense forward and gradients."""
+    import jax
+    import optax
+    from graph_neural_networks_tpu.models import architectures as archs
+    S = band_graph / np.max(np.abs(np.linalg.eigvalsh(band_graph)))
+    arch = archs.GraphRecurrentNN(2, 3, 4, [3, 3], True, "tanh",
+                                  "identity", "identity", [3], S)
+    params = arch.init(jax.random.PRNGKey(0))
+    x = RNG.random((2, 4, 2, 64)).astype(np.float32)
+    z0 = jnp.zeros((2, 4, 64))
+    want = np.asarray(arch.apply(params, x, z0=z0))
+
+    def loss(p, ctx):
+        y = arch.core.apply(p, jnp.asarray(x), z0, ctx)[0]
+        return jnp.mean(y ** 2)
+
+    g_want = jax.grad(loss)(params, arch.ctx)
+    arch.shard(mesh, 8)
+    with mesh:
+        got = np.asarray(arch.apply(params, x, z0=z0))
+        g_got = jax.jit(jax.grad(loss))(params, arch.ctx)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_got),
+                    jax.tree_util.tree_leaves(g_want)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("gate", ["time", "node"])
+def test_gated_grnn_shard_matches_dense(mesh, band_graph, gate):
+    """Time/node-gated GRNNs shard too (the gates scale lsigf outputs, so
+    the recurrence stays on the sharded shift; edge gates need the dense
+    GSO by definition)."""
+    import jax
+    from graph_neural_networks_tpu.models import architectures as archs
+    S = band_graph / np.max(np.abs(np.linalg.eigvalsh(band_graph)))
+    arch = archs.GatedGraphRecurrentNN(2, 3, 4, [2, 2], True, "tanh",
+                                       "identity", "identity", [3], S,
+                                       gateType=gate)
+    params = arch.init(jax.random.PRNGKey(0))
+    x = RNG.random((2, 3, 2, 64)).astype(np.float32)
+    z0 = jnp.zeros((2, 4, 64))
+    want = np.asarray(arch.apply(params, x, z0=z0))
+    arch.shard(mesh, 8)
+    with mesh:
+        got = np.asarray(arch.apply(params, x, z0=z0))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
