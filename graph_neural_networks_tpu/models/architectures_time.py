@@ -189,16 +189,31 @@ class _AggDBCore(nn.Module):
     def __call__(self, x, S):
         B, T, F0, N = x.shape
         E = self.edge_features
-        xe = jnp.broadcast_to(x[:, :, None], (B, T, E, F0, N))
-        zs = [xe]
-        for _ in range(1, self.n_exchanges + 1):
-            xe = jnp.concatenate(
-                [jnp.zeros_like(xe[:, :1]), xe[:, :-1]], axis=1)
-            xe = filters.db_graph_shift(xe, S)
-            zs.append(xe)
-        z = jnp.stack(zs, axis=2)          # B x T x (nExch+1) x E x F x N
-        z = jnp.sum(z, axis=3)             # B x T x (nExch+1) x F x N
-        z = z.transpose(0, 1, 4, 3, 2)     # B x T x N x F x (nExch+1)
+        if isinstance(S, filters.ell_lib.EllGso):
+            # node-major throughout (the TPU-fast ELL gather layout);
+            # the layer's own consumption order is node-major anyway
+            xe = jnp.broadcast_to(
+                jnp.swapaxes(x, -1, -2)[..., None, :], (B, T, N, E, F0))
+            zs = [xe]
+            for _ in range(1, self.n_exchanges + 1):
+                xe = jnp.concatenate(
+                    [jnp.zeros_like(xe[:, :1]), xe[:, :-1]], axis=1)
+                xe = S.db_shift_rows(xe)
+                zs.append(xe)
+            z = jnp.stack(zs, axis=3)      # B x T x N x (nExch+1) x E x F
+            z = jnp.sum(z, axis=4)         # B x T x N x (nExch+1) x F
+            z = jnp.swapaxes(z, -1, -2)    # B x T x N x F x (nExch+1)
+        else:
+            xe = jnp.broadcast_to(x[:, :, None], (B, T, E, F0, N))
+            zs = [xe]
+            for _ in range(1, self.n_exchanges + 1):
+                xe = jnp.concatenate(
+                    [jnp.zeros_like(xe[:, :1]), xe[:, :-1]], axis=1)
+                xe = filters.db_graph_shift(xe, S)
+                zs.append(xe)
+            z = jnp.stack(zs, axis=2)      # B x T x (nExch+1) x E x F x N
+            z = jnp.sum(z, axis=3)         # B x T x (nExch+1) x F x N
+            z = z.transpose(0, 1, 4, 3, 2)  # B x T x N x F x (nExch+1)
         z = z.reshape(B * T * N, F0, self.n_exchanges + 1)
         for l in range(len(self.taps)):
             z = z.transpose(0, 2, 1)

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["EllGso", "ell_from_dense", "ell_topk", "ell_shift"]
+__all__ = ["EllGso", "ell_from_dense", "ell_topk", "ell_shift",
+           "ell_shift_rows"]
 
 
 class EllGso:
@@ -76,6 +77,12 @@ class EllGso:
         """One graph shift of x: (*L, E, G, N); overridden by
         parallel.db.ShardedEllGso with the mesh-sharded version."""
         return ell_shift(x, self)
+
+    def db_shift_rows(self, xr: jnp.ndarray) -> jnp.ndarray:
+        """Node-major shift of xr: (*L, N, E, G) -> (*L, No, E, G) — the
+        TPU-fast layout (see ell_shift_rows); overridden by
+        parallel.db.ShardedEllGso with the mesh-sharded version."""
+        return ell_shift_rows(xr, self)
 
     def __repr__(self):
         return (f"EllGso(lead={self.idx.shape[:-2]}, N={self.n}, "
@@ -145,22 +152,74 @@ def ell_to_dense(ell: EllGso) -> np.ndarray:
     return S
 
 
-def ell_shift(x: jnp.ndarray, ell: EllGso) -> jnp.ndarray:
-    """One graph shift y = x·S on the ELL layout.
+def ell_shift_rows(xr: jnp.ndarray, ell: EllGso) -> jnp.ndarray:
+    """One graph shift on the node-major layout: xr (*L, N, E, G) ->
+    (*L, No, E, G); same semantics as ``ell_shift`` up to the transpose.
 
-    x: (*L, E, G, N) -> y: (*L, E, G, N), semantics matching
-    ``einsum("...egn,...enm->...egm", x, S_dense)`` (the DB filters'
-    contraction, reference graphML.py:1071): output node m aggregates
-    its in-neighbors. One flat gather along the node axis (shared by
-    E and G) + one D-length contraction.
+    This is the fast TPU formulation (v5e gather probes,
+    experiments/probe_gather_tpu*.py + bench_ell_tpu.py, sync-mode
+    protocol): flatten all leading axes into ONE batch dim and gather
+    whole feature rows along the node axis, keeping the node axis on
+    the sublane (second-to-minor) axis through the contraction —
+    measured ~11x faster than gathering along the 128-lane minor axis
+    ('flat'). The gather itself is row-LATENCY bound on TPU (~7-8 ns
+    per gathered row on v5e, flat in N from 256 to 65k and roughly
+    flat in row width), so: (a) wide feature rows (E*G or the GRNN's
+    K*H register) amortize the latency, and (b) where a dense
+    (B,T,E,N,N) GSO fits in HBM, the dense einsum rides the MXU and is
+    10-40x faster — ELL's win is O(N*D) MEMORY, enabling N where dense
+    is impossible (N=65536 dense would be 137 GB).
 
     The table may be rectangular: idx/val rows are the output nodes
-    (possibly a shard-local block of them) while x's node axis holds the
-    gather source (possibly the all-gathered global signal).
+    (possibly a shard-local block of them) while xr's node axis holds
+    the gather source (possibly the all-gathered global signal).
+    """
+    idx, val = ell.idx, ell.val
+    *L, Nn, E, G = xr.shape
+    No, D = idx.shape[-2:]
+    Bf = int(np.prod(L)) if L else 1
+    xf = xr.reshape((Bf, Nn, E * G))
+    ixf = idx.reshape((Bf, No * D, 1))
+    xg = jnp.take_along_axis(xf, ixf, axis=-2)          # (Bf, No*D, E*G)
+    vf = val.reshape((Bf, E, No, D)).astype(xr.dtype)
+    if E == 1:
+        y = jnp.einsum("bndc,bnd->bnc",
+                       xg.reshape((Bf, No, D, E * G)), vf[:, 0])
+    else:
+        y = jnp.einsum("bndeg,bend->bneg",
+                       xg.reshape((Bf, No, D, E, G)), vf)
+    return y.reshape(tuple(L) + (No, E, G))
+
+
+def ell_shift(x: jnp.ndarray, ell: EllGso,
+              layout: str = "rows") -> jnp.ndarray:
+    """One graph shift y = x·S on the ELL layout.
+
+    x: (*L, E, G, N) -> y: (*L, E, G, No), semantics matching
+    ``einsum("...egn,...enm->...egm", x, S_dense)`` (the DB filters'
+    contraction, reference graphML.py:1071): output node m aggregates
+    its in-neighbors: one gather + one D-length contraction.
+
+    layout picks the gather formulation:
+      * 'rows' (default): transpose features minor and run the
+        node-major ``ell_shift_rows`` fast path, transposing back at
+        the boundary (an optimization barrier keeps the boundary
+        transpose from being fused back into the gather).
+      * 'flat': gather along the node (minor) axis directly — fewer
+        transposes, fine on CPU, measured ~11x slower on TPU v5e.
+
+    Callers doing repeated shifts (the DB filters) should hold the
+    signal node-major and call ``ell_shift_rows`` directly, paying the
+    two transposes once per filter instead of once per shift.
     """
     idx, val = ell.idx, ell.val
     *L, E, G, _ = x.shape
     No, D = idx.shape[-2:]
+    if layout == "rows":
+        xr = jnp.moveaxis(x, -1, -3)                    # (*L, N, E, G)
+        y = ell_shift_rows(xr, ell)                     # (*L, No, E, G)
+        y = jax.lax.optimization_barrier(y)
+        return jnp.moveaxis(y, -3, -1)
     idxf = idx.reshape(tuple(L) + (1, 1, No * D))
     idxf = jnp.broadcast_to(idxf, tuple(L) + (E, G, No * D))
     xg = jnp.take_along_axis(x, idxf, axis=-1)

@@ -325,6 +325,30 @@ def db_graph_shift(xe: jnp.ndarray, S) -> jnp.ndarray:
     return jnp.einsum("btegn,btenm->btegm", xe, S)
 
 
+def _lsigf_db_ell_rows(h, S, x, b=None):
+    """ELL lsigf_db in the node-major layout: x (B,T,G,N) -> y (B,T,N,F).
+
+    The whole K-tap register stays node-major (ops.ell.ell_shift_rows —
+    the TPU-fast gather layout); the final tap contraction is one
+    (B·T·N, K·E·G)x(K·E·G, F) matmul. Callers that want the standard
+    (B,T,F,N) swap the last two axes once at the boundary.
+    """
+    F, E, K, G = h.shape
+    B, T, _, N = x.shape
+    xe = jnp.broadcast_to(jnp.swapaxes(x, -1, -2)[..., None, :],
+                          (B, T, N, E, G))
+    zs = [xe]
+    for _ in range(1, K):
+        # shift down the time axis (zero-pad t=0), then shift on the graph
+        xe = jnp.concatenate(
+            [jnp.zeros_like(xe[:, :1]), xe[:, :-1]], axis=1)
+        xe = S.db_shift_rows(xe)
+        zs.append(xe)
+    z = jnp.stack(zs, axis=3)                         # B x T x N x K x E x G
+    y = jnp.einsum("btnkeg,fekg->btnf", z, h)
+    return y if b is None else y + jnp.reshape(b, (-1,))
+
+
 def lsigf_db(h: jnp.ndarray, S, x: jnp.ndarray,
              b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Delayed LSIGF over a per-(batch, time) GSO.
@@ -332,8 +356,10 @@ def lsigf_db(h: jnp.ndarray, S, x: jnp.ndarray,
     y(t) = sum_k h_k x(t-k) S(t-k+1)...S(t) (unit-delay information
     propagation for decentralized controllers). Reference:
     graphML.py:977-1094. h: (F,E,K,G), x: (B,T,G,N); S: dense
-    (B,T,E,N,N) or an O(N·deg) ell.EllGso.
+    (B,T,E,N,N) or an O(N·deg) ell.EllGso. b: (F,1) bias or None.
     """
+    if isinstance(S, ell_lib.EllGso):
+        return jnp.swapaxes(_lsigf_db_ell_rows(h, S, x, b), -1, -2)
     F, E, K, G = h.shape
     B, T, _, N = x.shape
     xe = jnp.broadcast_to(x[:, :, None], (B, T, E, G, N))
@@ -349,6 +375,57 @@ def lsigf_db(h: jnp.ndarray, S, x: jnp.ndarray,
     return y if b is None else y + b
 
 
+def _grnn_db_ell_rows(a, b_taps, S, x, z0, sigma, x_bias, z_bias):
+    """ELL grnn_db with the hidden-state register held node-major
+    (B,N,E,K,H) across the whole scan — every per-step register shift is
+    one ell_shift_rows (the TPU-fast gather layout), with the single
+    layout transpose paid once at the output boundary."""
+    H, E, K, F = a.shape
+    B, T, _, N = x.shape
+    Axr = _lsigf_db_ell_rows(a, S, x, x_bias)          # B x T x N x H
+    zb = None if z_bias is None else jnp.reshape(z_bias, (-1,))
+
+    def apply_b(reg):
+        # reg: (B,N,E,K,H); Bz[b,n,h] = sum_{e,k,j} b[h,e,k,j] reg[b,n,e,k,j]
+        out = jnp.einsum("hekj,bnekj->bnh", b_taps, reg)
+        return out if zb is None else out + zb
+
+    def step_shift(reg, S_t):
+        # reg: (B,N,E,K-1,H); S_t has leading axes (B,)
+        r = reg.reshape(B, N, E, (K - 1) * H)
+        r = S_t.db_shift_rows(r)
+        return r.reshape(B, N, E, K - 1, H)
+
+    # t = 0: register holds [z_{-1}=z0, 0, ..., 0]
+    reg0 = jnp.zeros((B, N, E, K, H), x.dtype)
+    z0r = jnp.swapaxes(z0, -1, -2)                     # B x N x H
+    reg0 = reg0.at[..., 0, :].set(
+        jnp.broadcast_to(z0r[:, :, None], (B, N, E, H)))
+    z_t = sigma(Axr[:, 0] + apply_b(reg0))             # B x N x H
+
+    def step(carry, inp):
+        z_prev, reg = carry
+        S_t, Ax_t = inp
+        # delay the register: drop the oldest, shift all, prepend z_{t-1}
+        shifted = step_shift(reg[..., : K - 1, :], S_t)
+        reg = jnp.concatenate(
+            [jnp.broadcast_to(z_prev[:, :, None, None], (B, N, E, 1, H)),
+             shifted], axis=-2)
+        z_new = sigma(Ax_t + apply_b(reg))
+        return (z_new, reg), z_new
+
+    if T > 1:
+        S_rest = jax.tree_util.tree_map(
+            lambda s: jnp.moveaxis(s[:, 1:], 1, 0), S)
+        xs = (S_rest, jnp.moveaxis(Axr[:, 1:], 1, 0))
+        (_, _), z_rest = jax.lax.scan(step, (z_t, reg0), xs)
+        zr = jnp.concatenate(
+            [z_t[:, None], jnp.moveaxis(z_rest, 0, 1)], axis=1)
+    else:
+        zr = z_t[:, None]
+    return jnp.swapaxes(zr, -1, -2)                    # B x T x H x N
+
+
 def grnn_db(a: jnp.ndarray, b_taps: jnp.ndarray, S: jnp.ndarray,
             x: jnp.ndarray, z0: jnp.ndarray, sigma: Callable,
             x_bias: Optional[jnp.ndarray] = None,
@@ -361,17 +438,15 @@ def grnn_db(a: jnp.ndarray, b_taps: jnp.ndarray, S: jnp.ndarray,
     a: (H,E,K,F), b_taps: (H,E,K,H), x: (B,T,F,N), z0: (B,H,N)
     -> z: (B,T,H,N); S: dense (B,T,E,N,N) or an ell.EllGso.
     """
+    if isinstance(S, ell_lib.EllGso):
+        return _grnn_db_ell_rows(a, b_taps, S, x, z0, sigma,
+                                 x_bias, z_bias)
     H, E, K, F = a.shape
     B, T, _, N = x.shape
     Ax = lsigf_db(a, S, x, b=x_bias)                       # B x T x H x N
 
     def step_shift(reg, S_t):
         # reg: (B, K-1, E, H, N); S_t has leading axes (B,)
-        if isinstance(S_t, ell_lib.EllGso):
-            k = reg.shape[1]
-            r = reg.transpose(0, 2, 1, 3, 4).reshape(B, E, k * H, N)
-            r = S_t.db_shift(r)
-            return r.reshape(B, E, k, H, N).transpose(0, 2, 1, 3, 4)
         return jnp.einsum("bkejn,benm->bkejm", reg, S_t)
 
     def apply_b(reg):

@@ -77,6 +77,29 @@ class ShardedEllGso(ell_lib.EllGso):
 
         return _shift(x, self.idx, self.val)
 
+    def db_shift_rows(self, xr: jnp.ndarray) -> jnp.ndarray:
+        """Node-major variant: xr (*L, N_pad, E, G) node-sharded at axis
+        -3 -> same, node-sharded. This is the layout the DB filters hold
+        their registers in (ops.ell.ell_shift_rows — the TPU-fast
+        gather); the all-gather rides the sublane node axis."""
+        mesh, axis = self.mesh, self.axis
+        lead = xr.ndim - 3
+
+        def spec(*tail):
+            return P(*((None,) * lead + tail))
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(spec(axis, None, None), spec(axis, None),
+                           spec(None, axis, None)),
+                 out_specs=spec(axis, None, None))
+        def _shift(x_blk, idx_blk, val_blk):
+            x_full = jax.lax.all_gather(x_blk, axis, axis=lead,
+                                        tiled=True)
+            return ell_lib.ell_shift_rows(
+                x_full, ell_lib.EllGso(idx_blk, val_blk))
+
+        return _shift(xr, self.idx, self.val)
+
     # -- signal padding at the user boundary --------------------------------
     def pad_signal(self, x):
         pad = self.n - self.n_orig
