@@ -5,6 +5,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 from graph_neural_networks_tpu.ops import filters, gso as gso_lib
 
+_ = float(jnp.sum(jnp.ones((8, 8))))  # force tunnel sync mode before timing
 rng = np.random.default_rng(0)
 N, bw = 16384, 256
 S = np.zeros((N, N), np.float32)

@@ -154,6 +154,42 @@ class Flocking(Data):
             self.state[name] = state[sl]
         self.astype(dataType)
 
+    @classmethod
+    def for_rollout(cls, nAgents, commRadius, repelDist, samplingTime,
+                    initGeometry="circular", initVelValue=3.0,
+                    initMinDist=0.1, accelMax=10.0, normalizeGraph=True,
+                    doPrint=False, dataType=np.float64, rng=None):
+        """Environment-only construction: all the physics/rollout machinery
+        (compute_initial_positions, compute_trajectory, evaluate) WITHOUT
+        generating expert supervision trajectories. The constructor's
+        host-side expert generation is O(nSamples·T·N²) numpy (reference
+        dataTools.py:3406-3507) — infeasible at large-swarm N, where only
+        the jitted closed-loop rollout (ELL histories, power-iteration
+        lambda_max) is wanted: evaluation/serving of a trained controller
+        on swarms far bigger than it was trained on."""
+        self = cls.__new__(cls)
+        Data.__init__(self)
+        self.rng = np.random.default_rng() if rng is None else rng
+        self.nAgents = nAgents
+        self.commRadius = commRadius
+        self.repelDist = repelDist
+        self.nTrain = self.nValid = self.nTest = 0
+        self.duration = 0.0
+        self.samplingTime = samplingTime
+        self.initGeometry = initGeometry
+        self.initVelValue = initVelValue
+        self.initMinDist = initMinDist
+        self.accelMax = accelMax
+        self.normalizeGraph = normalizeGraph
+        self.doPrint = doPrint
+        self.dataType = dataType
+        self.rollout_ell_degree = None
+        self.rollout_lam_method = "eig"
+        self.initPos, self.initVel = {}, {}
+        self.pos, self.vel, self.accel = {}, {}, {}
+        self.commGraph, self.state = {}, {}
+        return self
+
     # -- reference-named aliases -------------------------------------------
     def getData(self, name, samplesType, *args):
         """Fetch auxiliary trajectories: 'pos'|'vel'|'accel'|'commGraph'|

@@ -229,6 +229,35 @@ def test_flocking_rollout_ell_parity(flock):
     np.testing.assert_allclose(y_e, y_d, rtol=1e-4, atol=1e-4)
 
 
+def test_flocking_for_rollout_matches_full_env(flock):
+    """Environment-only construction (no expert generation) produces the
+    same jitted closed-loop trajectories as a fully-constructed dataset
+    with identical physics parameters."""
+    from graph_neural_networks_tpu.data.flocking import Flocking
+
+    env = Flocking.for_rollout(10, commRadius=6.0, repelDist=1.0,
+                               samplingTime=0.1,
+                               rng=np.random.default_rng(0))
+    assert env.nTrain == 0 and env.samples["train"]["signals"] is None
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=10, T=2)
+    policy = lambda p, xw, Sw: arch.apply(
+        p, jnp.asarray(xw, jnp.float32), Sw)
+    ip = flock.getData("initPos", "test")
+    iv = flock.getData("initVel", "test")
+    w = arch.causal_window
+    pos_a, vel_a, *_ = env.compute_trajectory(
+        ip, iv, 0.8, archit=policy, params=params, history_window=w,
+        ell_degree=10, lam_method="power")
+    pos_b, vel_b, *_ = flock.compute_trajectory(
+        ip, iv, 0.8, archit=policy, params=params, history_window=w,
+        ell_degree=10, lam_method="power")
+    np.testing.assert_allclose(pos_a, pos_b, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(vel_a, vel_b, rtol=1e-6, atol=1e-6)
+    # the evaluator works without stored samples
+    assert np.isfinite(env.evaluate(vel=vel_a))
+
+
 def test_trainer_flocking_ell(flock, tmp_path):
     """TrainerFlocking with ellDegree: train step runs on the ELL layout."""
     from graph_neural_networks_tpu import training as T
