@@ -80,6 +80,71 @@ def _jnp_states(pos, vel, graph):
                            axis=-2)
 
 
+def _jnp_env_step_chunked(pos, vel, comm_radius, d_max, chunk,
+                          v_prev, lam_iters: int = 8):
+    """One O(N·deg)-memory environment step for very large swarms: the
+    ELL communication graph (top-d_max binary in-neighbors per agent,
+    lambda_max-normalized) AND the 6-feature agent states, computed in
+    row chunks of `chunk` agents — the (N,N) distance/adjacency matrices
+    of ``_jnp_comm_graph``/``_jnp_states`` are never allocated (at
+    N=65536 they would be 17 GB each), only (B, chunk, N) workspaces.
+
+    Exact vs the dense step whenever d_max >= the true max in-degree
+    (the neighbor sets are binary, so top_k returns them all; the masked
+    state reductions sum the same terms). lambda_max by power iteration
+    on the ELL matvec, warm-started from ``v_prev`` — the eigenvector is
+    carried across scan steps, so a few iterations per step track the
+    slowly-moving swarm spectrum. Returns (idx (B,N,D), val_norm
+    (B,N,D), states (B,6,N), v (B,N)). Requires N % chunk == 0.
+    """
+    import jax
+    import jax.numpy as jnp
+    from graph_neural_networks_tpu.ops import ell as ell_lib
+    B, _, N = pos.shape
+    assert N % chunk == 0, (N, chunk)
+    r2 = comm_radius ** 2
+    cols = jnp.arange(N)
+
+    def one(lo):
+        pr = jax.lax.dynamic_slice(pos, (0, 0, lo), (B, 2, chunk))
+        vr = jax.lax.dynamic_slice(vel, (0, 0, lo), (B, 2, chunk))
+        dp = pr[..., :, None] - pos[:, :, None, :]      # B,2,chunk,N
+        d2 = jnp.sum(dp ** 2, axis=1)                   # B,chunk,N
+        rows = lo + jnp.arange(chunk)
+        m = ((d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
+             & (cols[None, None, :] != rows[None, :, None]))
+        mf = m.astype(pos.dtype)
+        val, idx = jax.lax.top_k(mf, d_max)             # B,chunk,D
+        dv = vr[..., :, None] - vel[:, :, None, :]      # B,2,chunk,N
+        inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
+        inv = inv[:, None]                              # B,1,chunk,N
+        mfe = mf[:, None]
+        st = jnp.concatenate(
+            [jnp.sum(dv * mfe, -1), jnp.sum(dp * inv ** 2, -1),
+             jnp.sum(dp * inv, -1)], axis=-2)           # B,6,chunk
+        return idx.astype(jnp.int32), val, st
+
+    idxs, vals, sts = jax.lax.map(one, jnp.arange(N // chunk) * chunk)
+    idx = jnp.moveaxis(idxs, 0, 1).reshape(B, N, d_max)
+    val = jnp.moveaxis(vals, 0, 1).reshape(B, N, d_max)
+    states = jnp.moveaxis(sts, 0, 2).reshape(B, 6, N)
+
+    ell = ell_lib.EllGso(idx, val[:, None])
+
+    def mv(v):                                          # W v, W symmetric
+        return ell_lib.ell_shift(v[:, None, None, :], ell)[:, 0, 0]
+
+    def body(_, v):
+        w = mv(v)
+        return w / jnp.maximum(
+            jnp.linalg.norm(w, axis=-1, keepdims=True), ZERO_TOL)
+
+    v = jax.lax.fori_loop(0, lam_iters, body, v_prev)
+    lam = jnp.einsum("bn,bn->b", v, mv(v))
+    lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
+    return idx, val / lam[:, None, None], states, v
+
+
 def compute_differences(u: np.ndarray):
     """Pairwise differences u_i - u_j and squared distances.
 
@@ -121,9 +186,12 @@ class Flocking(Data):
         self.dataType = dataType
         # defaults for closed-loop rollouts (trainer/evaluator paths):
         # set rollout_ell_degree=D (+ rollout_lam_method='power') for
-        # large swarms — O(T·N·D) graph histories, no per-step eigvalsh
+        # large swarms — O(T·N·D) graph histories, no per-step eigvalsh;
+        # rollout_env_chunk=C additionally makes the env step itself
+        # O(N·deg) memory (chunked states/graph + warm-started lambda)
         self.rollout_ell_degree = None
         self.rollout_lam_method = "eig"
+        self.rollout_env_chunk = None
         n_samples = nTrain + nValid + nTest
 
         init_pos, init_vel = self.compute_initial_positions(
@@ -185,6 +253,7 @@ class Flocking(Data):
         self.dataType = dataType
         self.rollout_ell_degree = None
         self.rollout_lam_method = "eig"
+        self.rollout_env_chunk = None
         self.initPos, self.initVel = {}, {}
         self.pos, self.vel, self.accel = {}, {}, {}
         self.commGraph, self.state = {}, {}
@@ -353,7 +422,8 @@ class Flocking(Data):
 
     # -- closed-loop rollout (reference dataTools.py:3166-3340) -------------
     def _scan_rollout(self, T: int, w: int, policy, ell_degree=None,
-                      lam_method: str = "eig"):
+                      lam_method: str = "eig", env_chunk=None,
+                      lam_iters: int = 8):
         """Build (and cache) a jitted lax.scan closed-loop rollout: the
         whole T-step env+model loop is ONE compiled program (no host
         round-trip per physics step — the reference pathology at
@@ -365,11 +435,19 @@ class Flocking(Data):
         in-neighbors per step) and the stacked graph trajectory comes
         back as an EllGso — O(T·N·D) instead of O(T·N²), the large-swarm
         path. Combine with lam_method='power' to avoid the O(N³)
-        eigvalsh per step."""
+        eigvalsh per step.
+
+        env_chunk=C (requires ell_degree): the environment step itself
+        runs O(N·deg)-memory via ``_jnp_env_step_chunked`` — states and
+        the graph built in C-row chunks, lambda_max by warm-started
+        power iteration (`lam_iters` per step) on the ELL matvec. This
+        removes the env's own (N,N) allocations (17 GB each at N=65536),
+        the last dense obstacle to very large swarms."""
         import jax
         import jax.numpy as jnp
         from graph_neural_networks_tpu.ops import ell as ell_lib
-        key = (T, w, id(policy), ell_degree, lam_method)
+        key = (T, w, id(policy), ell_degree, lam_method, env_chunk,
+               lam_iters)
         cache = getattr(self, "_scan_cache", None)
         if cache is None:
             cache = self._scan_cache = {}
@@ -378,6 +456,56 @@ class Flocking(Data):
         dt = self.samplingTime
         r = self.commRadius
         a_max = self.accelMax
+
+        if env_chunk is not None:
+            assert ell_degree is not None, \
+                "env_chunk requires ell_degree (the O(N*deg) graph layout)"
+
+            def rollout_chunked(params, init_pos, init_vel):
+                B, _, N = init_pos.shape
+                D = ell_degree
+                v0 = jnp.ones((B, N), init_pos.dtype) / jnp.sqrt(N)
+                i0, s0, x0, v0 = _jnp_env_step_chunked(
+                    init_pos, init_vel, r, D, env_chunk, v0,
+                    lam_iters=max(lam_iters, 32))   # cold start: converge
+                xw = jnp.zeros((B, w, 6, N),
+                               init_pos.dtype).at[:, -1].set(x0)
+                iw = jnp.zeros((B, w, N, D), jnp.int32).at[:, -1].set(i0)
+                vw = jnp.zeros((B, w, 1, N, D),
+                               init_pos.dtype).at[:, -1].set(s0[:, None])
+
+                def step(carry, _):
+                    pos_t, vel_t, xw, iw, vw, v = carry
+                    y = policy(params, xw, ell_lib.EllGso(iw, vw))
+                    a = jnp.clip(y[:, -1], -a_max, a_max)
+                    vel_n = a * dt + vel_t
+                    pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
+                    i_n, s_n, x_n, v = _jnp_env_step_chunked(
+                        pos_n, vel_n, r, D, env_chunk, v,
+                        lam_iters=lam_iters)
+                    xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
+                    iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)
+                    vw = jnp.concatenate(
+                        [vw[:, 1:], s_n[:, None, None]], axis=1)
+                    return ((pos_n, vel_n, xw, iw, vw, v),
+                            (pos_n, vel_n, a, x_n, (i_n, s_n)))
+
+                carry = (init_pos, init_vel, xw, iw, vw, v0)
+                _, (pos, vel, acc, xs, Ss) = jax.lax.scan(
+                    step, carry, None, length=T - 1)
+                swap = lambda z: jnp.moveaxis(z, 0, 1)
+                pos = jnp.concatenate([init_pos[:, None], swap(pos)], axis=1)
+                vel = jnp.concatenate([init_vel[:, None], swap(vel)], axis=1)
+                zero_a = jnp.zeros_like(acc[:1])
+                accel = jnp.concatenate([swap(acc), swap(zero_a)], axis=1)
+                states = jnp.concatenate([x0[:, None], swap(xs)], axis=1)
+                gi = jnp.concatenate([i0[:, None], swap(Ss[0])], axis=1)
+                gv = jnp.concatenate([s0[:, None], swap(Ss[1])], axis=1)
+                graphs = ell_lib.EllGso(gi, gv[:, :, None])
+                return pos, vel, accel, states, graphs
+
+            cache[key] = jax.jit(rollout_chunked)
+            return cache[key]
 
         def rollout(params, init_pos, init_vel):
             B, _, N = init_pos.shape
@@ -448,7 +576,8 @@ class Flocking(Data):
     def compute_trajectory(self, initPos, initVel, duration, archit=None,
                            accel=None, params=None, rng=None, doPrint=None,
                            history_window=None, jit=True, ell_degree=None,
-                           lam_method: str = "eig"):
+                           lam_method: str = "eig", env_chunk=None,
+                           lam_iters: int = 8):
         """Roll the swarm forward. Either apply a given open-loop `accel`
         sequence, or run `archit` (params, x_hist, S_hist) -> accel closed
         loop: at each step the model sees the (zero-padded) history and its
@@ -463,6 +592,8 @@ class Flocking(Data):
             ell_degree = self.rollout_ell_degree
         if lam_method == "eig" and self.rollout_lam_method != "eig":
             lam_method = self.rollout_lam_method
+        if env_chunk is None:
+            env_chunk = getattr(self, "rollout_env_chunk", None)
         initPos = np.asarray(initPos, np.float64)
         initVel = np.asarray(initVel, np.float64)
         B, _, N = initPos.shape
@@ -488,7 +619,9 @@ class Flocking(Data):
             import jax.numpy as jnp
             roll = self._scan_rollout(T, int(history_window), archit,
                                       ell_degree=ell_degree,
-                                      lam_method=lam_method)
+                                      lam_method=lam_method,
+                                      env_chunk=env_chunk,
+                                      lam_iters=lam_iters)
             out = roll(params, jnp.asarray(initPos, jnp.float32),
                        jnp.asarray(initVel, jnp.float32))
             # graphs may be an EllGso pytree (ell_degree mode): convert

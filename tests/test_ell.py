@@ -258,6 +258,47 @@ def test_flocking_for_rollout_matches_full_env(flock):
     assert np.isfinite(env.evaluate(vel=vel_a))
 
 
+def test_flocking_env_chunked_parity(flock):
+    """The O(N·deg)-memory chunked env step (env_chunk): one step matches
+    the dense env exactly (graph + states + lambda), and the full
+    closed-loop rollout reproduces the dense-env ELL rollout."""
+    import jax.numpy as jnp
+    from graph_neural_networks_tpu.data import flocking as F
+
+    rng = np.random.default_rng(3)
+    B, N = 2, 12
+    pos = jnp.asarray(rng.standard_normal((B, 2, N)) * 2, jnp.float32)
+    vel = jnp.asarray(rng.standard_normal((B, 2, N)), jnp.float32)
+
+    # single-step parity: dense graph/states vs chunked ELL graph/states
+    S = F._jnp_comm_graph(pos, 6.0, "power")
+    x = F._jnp_states(pos, vel, S)
+    v0 = jnp.ones((B, N)) / jnp.sqrt(N)
+    idx, valn, xc, _ = F._jnp_env_step_chunked(pos, vel, 6.0, N, 4, v0,
+                                               lam_iters=64)
+    np.testing.assert_allclose(xc, x, rtol=1e-4, atol=1e-5)
+    Sc = ell_lib.ell_to_dense(ell_lib.EllGso(idx, valn[:, None]))[:, 0]
+    np.testing.assert_allclose(Sc, S, rtol=1e-4, atol=1e-5)
+
+    # full-rollout parity vs the dense-env ELL rollout
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=10, T=2)
+    policy = lambda p, xw, Sw: arch.apply(
+        p, jnp.asarray(xw, jnp.float32), Sw)
+    ip = flock.getData("initPos", "test")
+    iv = flock.getData("initVel", "test")
+    w = arch.causal_window
+    pos_d, vel_d, *_ = flock.compute_trajectory(
+        ip, iv, 0.8, archit=policy, params=params, history_window=w,
+        ell_degree=10, lam_method="power")
+    pos_c, vel_c, _, _, graphs_c = flock.compute_trajectory(
+        ip, iv, 0.8, archit=policy, params=params, history_window=w,
+        ell_degree=10, env_chunk=5, lam_iters=64)
+    np.testing.assert_allclose(pos_c, pos_d, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(vel_c, vel_d, rtol=1e-4, atol=1e-4)
+    assert isinstance(graphs_c, ell_lib.EllGso)
+
+
 def test_trainer_flocking_ell(flock, tmp_path):
     """TrainerFlocking with ellDegree: train step runs on the ELL layout."""
     from graph_neural_networks_tpu import training as T
