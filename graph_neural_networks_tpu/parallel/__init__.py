@@ -20,3 +20,5 @@ from graph_neural_networks_tpu.parallel.shift import (  # noqa: F401
 from graph_neural_networks_tpu.parallel.sharded_gso import ShardedGso  # noqa: F401
 from graph_neural_networks_tpu.parallel.db import (  # noqa: F401
     ShardedEllGso, shard_ell)
+from graph_neural_networks_tpu.parallel.swarm import (  # noqa: F401
+    sharded_env_step, sharded_swarm_rollout, pad_swarm)

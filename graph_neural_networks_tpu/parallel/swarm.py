@@ -1,0 +1,185 @@
+"""Node-sharded large-swarm environment: closed-loop flocking across a
+device mesh.
+
+Each chip owns a block of agents. Per step, inside ONE ``shard_map``:
+  * all-gather the swarm positions/velocities (O(N) floats over ICI),
+  * compute the owned ROWS of the communication graph and the 6-feature
+    states against the full swarm — O(Np·N) workspace per chip, never a
+    global (N,N) anywhere,
+  * top-D the rows into the row-sharded ELL table the node-sharded DB
+    architectures (parallel.db.ShardedEllGso) consume directly,
+  * normalize by lambda_max from a mesh-wide power iteration (all-gather
+    + shard-local ELL contraction + psum norms), warm-started across
+    physics steps.
+
+Combined with ``sharded_swarm_rollout`` this scales the whole
+decentralized-controller evaluation loop — environment AND model — over
+the 'graph' mesh axis: the single-chip analogue is
+``data.flocking._jnp_env_step_chunked`` / ``_scan_rollout(env_chunk=)``,
+and the semantics match it exactly (parity-tested). Replaces at scale:
+reference dataTools.py:2612-3020 + 3166-3340 (single-device numpy).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from graph_neural_networks_tpu.data.base import ZERO_TOL
+from graph_neural_networks_tpu.ops import ell as ell_lib
+from graph_neural_networks_tpu.parallel.db import ShardedEllGso
+
+__all__ = ["sharded_env_step", "sharded_swarm_rollout", "pad_swarm"]
+
+
+def pad_swarm(pos, vel, mesh: Mesh, axis: str = "graph",
+              spacing: float = 1e3):
+    """Pad (B,2,N) positions/velocities to a multiple of the mesh axis
+    size. Pad agents are parked on a distant line with `spacing` between
+    them (no edges to the swarm OR to each other — a clustered pad would
+    form its own dense component and corrupt the lambda_max
+    normalization) and zero velocity. Returns (pos_pad, vel_pad, n_orig)
+    as device arrays laid out over the mesh."""
+    pos, vel = np.asarray(pos), np.asarray(vel)
+    B, _, N = pos.shape
+    parts = mesh.shape[axis]
+    n_pad = (-N) % parts
+    if n_pad:
+        far = np.abs(pos).max() + spacing
+        px = far + spacing * np.arange(1, n_pad + 1)
+        pp = np.stack([px, np.full(n_pad, far)])[None].repeat(B, 0)
+        pos = np.concatenate([pos, pp], axis=-1)
+        vel = np.concatenate([vel, np.zeros((B, 2, n_pad))], axis=-1)
+    sh = NamedSharding(mesh, P(None, None, axis))
+    return (jax.device_put(jnp.asarray(pos, jnp.float32), sh),
+            jax.device_put(jnp.asarray(vel, jnp.float32), sh), N)
+
+
+def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
+                     axis: str = "graph", v_prev=None, lam_iters: int = 8):
+    """One env step on node-sharded (B,2,N_pad) pos/vel. Returns
+    (idx (B,Np·P,D) row-sharded with global column ids, val_norm
+    (B,Np·P,D) row-sharded, states (B,6,N_pad) node-sharded,
+    v (B,N_pad) node-sharded) — matching data.flocking's
+    ``_jnp_env_step_chunked`` exactly when d_max covers the max degree."""
+    r2 = comm_radius ** 2
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, axis), P(None, None, axis),
+                       P(None, axis)),
+             out_specs=(P(None, axis, None), P(None, axis, None),
+                        P(None, None, axis), P(None, axis)))
+    def _step(pos_blk, vel_blk, v_blk):
+        B, _, Np = pos_blk.shape
+        pos_full = jax.lax.all_gather(pos_blk, axis, axis=2, tiled=True)
+        vel_full = jax.lax.all_gather(vel_blk, axis, axis=2, tiled=True)
+        N = pos_full.shape[-1]
+        lo = jax.lax.axis_index(axis) * Np
+        rows = lo + jnp.arange(Np)
+        cols = jnp.arange(N)
+        dp = pos_blk[..., :, None] - pos_full[:, :, None, :]   # B,2,Np,N
+        d2 = jnp.sum(dp ** 2, axis=1)                          # B,Np,N
+        m = ((d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
+             & (cols[None, None, :] != rows[None, :, None]))
+        mf = m.astype(pos_blk.dtype)
+        val01, idx = jax.lax.top_k(mf, d_max)                  # B,Np,D
+        idx = idx.astype(jnp.int32)
+        dv = vel_blk[..., :, None] - vel_full[:, :, None, :]
+        inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
+        inv = inv[:, None]
+        mfe = mf[:, None]
+        states = jnp.concatenate(
+            [jnp.sum(dv * mfe, -1), jnp.sum(dp * inv ** 2, -1),
+             jnp.sum(dp * inv, -1)], axis=-2)                  # B,6,Np
+
+        ell_blk = ell_lib.EllGso(idx, val01[:, None])
+
+        def mv(vb):                                            # (B,Np)
+            vf = jax.lax.all_gather(vb, axis, axis=1, tiled=True)
+            return ell_lib.ell_shift_rows(
+                vf[..., None, None], ell_blk)[..., 0, 0]
+
+        def body(_, vb):
+            wb = mv(vb)
+            nrm2 = jax.lax.psum(jnp.sum(wb ** 2, axis=1), axis)
+            return wb / jnp.maximum(jnp.sqrt(nrm2), ZERO_TOL)[:, None]
+
+        vb = jax.lax.fori_loop(0, lam_iters, body, v_blk)
+        lam = jax.lax.psum(jnp.einsum("bn,bn->b", vb, mv(vb)), axis)
+        lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
+        return idx, val01 / lam[:, None, None], states, vb
+
+    if v_prev is None:
+        B, _, Npad = pos.shape
+        v_prev = jnp.ones((B, Npad), pos.dtype) / jnp.sqrt(Npad)
+    return _step(pos, vel, v_prev)
+
+
+def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
+                          dt: float, accel_max: float, d_max: int,
+                          mesh: Mesh, axis: str = "graph", n_orig=None,
+                          lam_iters: int = 8):
+    """Build a jitted closed-loop rollout over the mesh: the mirror of
+    ``Flocking._scan_rollout(env_chunk=...)`` with every array
+    node-sharded and the graph windows as ShardedEllGso. policy:
+    (params, x_hist (B,w,6,N_pad), ShardedEllGso) -> (B,w,2,N_pad);
+    pad-agent accelerations are zeroed (pads never move), so results on
+    the first n_orig agents match the single-chip rollout exactly.
+
+    Returns rollout(params, pos_pad, vel_pad) -> (pos, vel, accel,
+    states, ShardedEllGso graph trajectory), all (B,T,...) node-sharded.
+    """
+
+    def env(pos, vel, v):
+        return sharded_env_step(pos, vel, comm_radius, d_max, mesh,
+                                axis, v_prev=v, lam_iters=lam_iters)
+
+    def rollout(params, init_pos, init_vel):
+        B, _, Npad = init_pos.shape
+        mask = (jnp.arange(Npad) < (Npad if n_orig is None else n_orig))
+        mask = mask.astype(init_pos.dtype)[None, None]        # 1,1,Npad
+        v0 = jnp.ones((B, Npad), init_pos.dtype) / jnp.sqrt(Npad)
+        i0, s0, x0, v0 = sharded_env_step(
+            init_pos, init_vel, comm_radius, d_max, mesh, axis,
+            v_prev=v0, lam_iters=max(lam_iters, 32))
+        xw = jnp.zeros((B, w, 6, Npad), init_pos.dtype).at[:, -1].set(x0)
+        iw = jnp.zeros((B, w, Npad, d_max), jnp.int32).at[:, -1].set(i0)
+        vw = jnp.zeros((B, w, 1, Npad, d_max),
+                       init_pos.dtype).at[:, -1].set(s0[:, None])
+
+        def step(carry, _):
+            pos_t, vel_t, xw, iw, vw, v = carry
+            S_hist = ShardedEllGso(iw, vw, mesh, axis, n_orig=Npad)
+            y = policy(params, xw, S_hist)
+            a = jnp.clip(y[:, -1], -accel_max, accel_max) * mask
+            vel_n = a * dt + vel_t
+            pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
+            i_n, s_n, x_n, v = env(pos_n, vel_n, v)
+            xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
+            iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)
+            vw = jnp.concatenate([vw[:, 1:], s_n[:, None, None]], axis=1)
+            return ((pos_n, vel_n, xw, iw, vw, v),
+                    (pos_n, vel_n, a, x_n, (i_n, s_n)))
+
+        carry = (init_pos, init_vel, xw, iw, vw, v0)
+        _, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
+                                                  length=T - 1)
+        swap = lambda z: jnp.moveaxis(z, 0, 1)
+        pos = jnp.concatenate([init_pos[:, None], swap(pos)], axis=1)
+        vel = jnp.concatenate([init_vel[:, None], swap(vel)], axis=1)
+        zero_a = jnp.zeros_like(acc[:1])
+        accel = jnp.concatenate([swap(acc), swap(zero_a)], axis=1)
+        states = jnp.concatenate([x0[:, None], swap(xs)], axis=1)
+        gi = jnp.concatenate([i0[:, None], swap(Ss[0])], axis=1)
+        gv = jnp.concatenate([s0[:, None], swap(Ss[1])], axis=1)
+        graphs = ShardedEllGso(gi, gv[:, :, None], mesh, axis,
+                               n_orig=Npad)
+        return pos, vel, accel, states, graphs
+
+    return jax.jit(rollout)

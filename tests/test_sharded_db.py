@@ -140,6 +140,50 @@ def test_sharded_db_architecture_train_step(gmesh):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_agents", [12, 10])   # 10 -> 2 pad agents
+def test_sharded_swarm_rollout_parity(gmesh, n_agents):
+    """Node-sharded closed-loop flocking (env + model over the mesh)
+    reproduces the single-device chunked-env rollout exactly, including
+    when the swarm is padded to the mesh size."""
+    from graph_neural_networks_tpu.data.flocking import Flocking
+
+    N = n_agents
+    # binary-exact dt so duration = T*dt gives exactly T arange steps
+    env = Flocking.for_rollout(N, commRadius=6.0, repelDist=1.0,
+                               samplingTime=0.125,
+                               rng=np.random.default_rng(0))
+    ip, iv = env.compute_initial_positions(
+        N, 2, env.commRadius, minDist=env.initMinDist,
+        geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
+
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=N, T=2)
+    policy = lambda p, xw, Sw: arch.apply(
+        p, jnp.asarray(xw, jnp.float32), Sw)
+    w = arch.causal_window
+    T = 6
+
+    pos_ref, vel_ref, *_ = env.compute_trajectory(
+        ip, iv, T * env.samplingTime, archit=policy, params=params,
+        history_window=w, ell_degree=N,
+        env_chunk=N // 2, lam_iters=64)
+
+    pos_p, vel_p, n_orig = par.pad_swarm(ip, iv, gmesh)
+    roll = par.sharded_swarm_rollout(
+        T, w, policy, env.commRadius, env.samplingTime, env.accelMax,
+        d_max=N, mesh=gmesh, n_orig=n_orig, lam_iters=64)
+    pos_s, vel_s, accel_s, states_s, graphs_s = roll(params, pos_p, vel_p)
+    assert isinstance(graphs_s, par.ShardedEllGso)
+    np.testing.assert_allclose(np.asarray(pos_s)[..., :N], pos_ref,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vel_s)[..., :N], vel_ref,
+                               rtol=1e-4, atol=1e-4)
+    # pad agents never move
+    if n_orig < pos_s.shape[-1]:
+        pp = np.asarray(pos_s)[..., n_orig:]
+        np.testing.assert_allclose(pp, np.broadcast_to(pp[:, :1], pp.shape))
+
+
 def test_sharded_ell_no_dense_at_scale(gmesh):
     """N=64k node-sharded DB shift: O(N·D/P) per chip, no N² anywhere."""
     N, B, T, D = 65536, 1, 2, 8
