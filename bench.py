@@ -43,6 +43,31 @@ def _bench(fn, iters=20, warmup=3):
 _PEAK_CACHE = {}
 
 
+def measure_hbm_bw():
+    """Achievable HBM copy bandwidth (bytes/s moved = read + write),
+    measured with a 256 MB elementwise-scale kernel."""
+    if "hbm" in _PEAK_CACHE:
+        return _PEAK_CACHE["hbm"]
+    import jax
+    import jax.numpy as jnp
+    n = 64 * (1 << 20)                       # 64M f32 = 256 MB
+    x = jnp.ones((n,), jnp.float32)
+    REPEAT = 20
+
+    @jax.jit
+    def f(z):
+        return jax.lax.fori_loop(0, REPEAT, lambda i, z: z * 1.0000001, z)
+
+    f(x).block_until_ready()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / REPEAT)
+    _PEAK_CACHE["hbm"] = 2 * 4 * n / best    # read + write
+    return _PEAK_CACHE["hbm"]
+
+
 def measure_peak(dtype_name: str):
     """Achievable dense-matmul peak (FLOP/s) at a given dtype/precision,
     measured on this chip with a 4096^3 MXU probe."""
@@ -178,6 +203,13 @@ def bench_config(N, R, density, bandwidth, dtype_name="f32", kernel="band",
     t = _bench(lambda: run(x)) / repeat / n_shifts   # per shift
     peak = measure_peak(dtype_name)
     executed = flops_per_shift / t
+    # minimal HBM traffic per shift (slab + x + y each touched once):
+    # hbm_pct_min near 100 => bandwidth-bound at this dtype; << 100 =>
+    # compute-bound (roofline_pct is then the binding number)
+    itemsize = 2 if dtype_name == "bf16" else 4
+    slab_elems = flops_per_shift / (2 * R)           # stored block math
+    min_traffic = (slab_elems + 2 * R * N) * itemsize
+    hbm_bw = measure_hbm_bw()
     return dict(
         kernel=kernel, dtype=dtype_name, N=N, R=R, density=density,
         bandwidth=bandwidth, nnz=nnz, t_shift_ms=t * 1e3,
@@ -185,6 +217,8 @@ def bench_config(N, R, density, bandwidth, dtype_name="f32", kernel="band",
         executed_tflops=executed / 1e12,
         peak_tflops=peak / 1e12,
         roofline_pct=100.0 * executed / peak,
+        hbm_gbps=hbm_bw / 1e9,
+        hbm_pct_min=100.0 * (min_traffic / t) / hbm_bw,
         edge_fraction=nnz * 1.0 / (flops_per_shift / (2 * R)),
         **meta)
 
