@@ -47,9 +47,30 @@ def make_pod_mesh(graph_parallelism: Optional[int] = None):
     return make_mesh((n_total // graph_parallelism, graph_parallelism))
 
 
-def per_host_batch_slice(global_batch: int) -> slice:
+def per_host_batch_slice(global_batch: int,
+                         process_count: Optional[int] = None,
+                         process_index: Optional[int] = None) -> slice:
     """The slice of a globally-sharded batch this host should load
-    (per-host data loading; SURVEY.md §2.9)."""
-    per = global_batch // jax.process_count()
-    i = jax.process_index()
-    return slice(i * per, (i + 1) * per)
+    (per-host data loading; SURVEY.md §2.9). The global batch must
+    divide evenly — pad the final batch host-side first (the Trainer's
+    uneven-last-batch handling happens before sharding)."""
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    assert global_batch % pc == 0, \
+        f"global batch {global_batch} must divide process count {pc}"
+    per = global_batch // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
+def shard_host_data(mesh, x, spec):
+    """Build the global device array from THIS host's local shard of the
+    data. `x` is the host-local slice (e.g. produced with
+    ``per_host_batch_slice``); `spec` a PartitionSpec over `mesh`.
+    Single-process this is a plain sharded device_put; multi-process it
+    assembles the global array from per-process shards without any host
+    gathering (jax.make_array_from_process_local_data)."""
+    from jax.sharding import NamedSharding
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)

@@ -307,6 +307,20 @@ def test_multihost_helpers_single_process(mesh):
 
     sl = mh.per_host_batch_slice(64)
     assert sl == slice(0, 64)
+    # simulated 4-process pod: each host loads its own quarter
+    slices = [mh.per_host_batch_slice(64, process_count=4, process_index=i)
+              for i in range(4)]
+    assert slices == [slice(0, 16), slice(16, 32), slice(32, 48),
+                      slice(48, 64)]
+    with pytest.raises(AssertionError):
+        mh.per_host_batch_slice(10, process_count=4, process_index=0)
+
+    # host-local data -> global sharded array (single-process degenerate)
+    from jax.sharding import PartitionSpec as P
+    x = np.arange(64, dtype=np.float32).reshape(8, 8)
+    xs = mh.shard_host_data(m2, x[mh.per_host_batch_slice(8)], P("data"))
+    assert xs.shape == (8, 8)
+    np.testing.assert_array_equal(np.asarray(xs), x)
 
 
 def test_pallas_local_contract_matches_einsum(mesh):
