@@ -258,6 +258,51 @@ def test_flocking_for_rollout_matches_full_env(flock):
     assert np.isfinite(env.evaluate(vel=vel_a))
 
 
+def test_lsigf_grnn_db_ell_k1_edge_case():
+    """K=1 (no shifts, zero-width register) on the ELL rows path."""
+    rng = np.random.default_rng(9)
+    B, T, E, G, F, H, N, deg = 2, 4, 1, 3, 4, 4, 10, 3
+    S = _random_db_gso(rng, B, T, E, N, deg)
+    ell = ell_lib.ell_from_dense(S)
+    Sd = jnp.asarray(S, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, T, G, N)), jnp.float32)
+    h1 = jnp.asarray(rng.standard_normal((F, E, 1, G)), jnp.float32)
+    np.testing.assert_allclose(
+        filters.lsigf_db(h1, ell, x), filters.lsigf_db(h1, Sd, x),
+        rtol=1e-5, atol=1e-5)
+    a1 = jnp.asarray(rng.standard_normal((H, E, 1, G)) * .3, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((H, E, 1, H)) * .3, jnp.float32)
+    z0 = jnp.asarray(rng.standard_normal((B, H, N)), jnp.float32)
+    np.testing.assert_allclose(
+        filters.grnn_db(a1, b1, ell, x, z0, jnp.tanh),
+        filters.grnn_db(a1, b1, Sd, x, z0, jnp.tanh),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_trainer_flocking_env_chunk(flock, tmp_path):
+    """TrainerFlocking/evaluator pick up the dataset's rollout_env_chunk
+    default: DAGger + closed-loop validation run on the chunked env."""
+    from graph_neural_networks_tpu import training as T
+    flock.rollout_ell_degree = 10
+    flock.rollout_lam_method = "power"
+    flock.rollout_env_chunk = 5
+    try:
+        arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+        model = T.Model(arch, T.losses.mse_loss,
+                        {"name": "ADAM", "lr": 5e-4}, T.TrainerFlocking,
+                        T.evaluate_flocking, name="flockChunk",
+                        saveDir=str(tmp_path), N=10, T=5)
+        out = model.train(flock, nEpochs=1, batchSize=6,
+                          validationInterval=4, ellDegree=10)
+        assert np.isfinite(out["lossTrain"]).all()
+        res = model.evaluate(flock)
+        assert np.isfinite(res["costBestFull"])
+    finally:
+        flock.rollout_ell_degree = None
+        flock.rollout_lam_method = "eig"
+        flock.rollout_env_chunk = None
+
+
 def test_flocking_env_chunked_parity(flock):
     """The O(N·deg)-memory chunked env step (env_chunk): one step matches
     the dense env exactly (graph + states + lambda), and the full
