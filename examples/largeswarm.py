@@ -1,0 +1,122 @@
+"""Large-swarm transfer: train a decentralized controller on a small
+swarm, deploy it closed-loop on a much bigger one.
+
+Graph filters are N-independent (permutation equivariance — the
+reference's transferability story, architectures.py changeGSO), so the
+controller trained at --trainAgents transfers verbatim. The big-swarm
+evaluation uses the O(N·deg) machinery end-to-end:
+``Flocking.for_rollout`` (no host-side O(T·N²) expert generation), ELL
+graph histories (``--ellDegree``), the chunked env step
+(``--envChunk``: states + graph built in row chunks, warm-started
+power-iteration lambda_max) — no (N,N) allocation anywhere, so swarms
+of 16k+ agents run on one chip.
+
+Run:  python examples/largeswarm.py [--quick] [--cpu]
+         [--deployAgents 4096] [--envChunk 1024] [--ellDegree 32]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--saveDir", default="experiments/largeswarm")
+    ap.add_argument("--trainAgents", type=int, default=None)
+    ap.add_argument("--deployAgents", type=int, default=None)
+    ap.add_argument("--ellDegree", type=int, default=32)
+    ap.add_argument("--envChunk", type=int, default=None,
+                    help="row-chunk size for the O(N*deg) env step "
+                         "(default: deployAgents//8, 0 disables)")
+    ap.add_argument("--duration", type=float, default=None,
+                    help="deployment rollout duration in seconds")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from graph_neural_networks_tpu import data as D
+    from graph_neural_networks_tpu import training as T
+    from graph_neural_networks_tpu.data.flocking import Flocking
+    from graph_neural_networks_tpu.models import architectures_time as archt
+
+    rng = np.random.default_rng(args.seed)
+    if args.quick:
+        n_train_agents, duration, dt = 12, 1.0, 0.1
+        nTrain, nValid, nTest, nEpochs, batch = 40, 8, 8, 3, 10
+        F, K = [6, 16], [3]
+        n_deploy, deploy_T_s = 64, 1.0
+    else:
+        n_train_agents, duration, dt = 50, 2.0, 0.01
+        nTrain, nValid, nTest, nEpochs, batch = 400, 20, 20, 30, 20
+        F, K = [6, 64], [3]
+        n_deploy, deploy_T_s = 4096, 1.0
+    if args.trainAgents is not None:
+        n_train_agents = args.trainAgents
+    if args.deployAgents is not None:
+        n_deploy = args.deployAgents
+    if args.duration is not None:
+        deploy_T_s = args.duration
+    env_chunk = args.envChunk
+    if env_chunk is None:
+        env_chunk = max(n_deploy // 8, 1)
+    if env_chunk == 0:
+        env_chunk = None
+
+    # -- 1. train small (standard flocking imitation + DAGger) -------------
+    print(f"== train: {n_train_agents} agents ==")
+    data = D.Flocking(nAgents=n_train_agents, commRadius=2.0,
+                      repelDist=1.0, nTrain=nTrain, nValid=nValid,
+                      nTest=nTest, duration=duration, samplingTime=dt,
+                      rng=rng)
+    arch = archt.LocalGNN_DB(F, K, True, "tanh", [2], 1)
+    model = T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
+                    T.TrainerFlocking, T.evaluate_flocking,
+                    name="LocalGNNxfer", saveDir=args.saveDir,
+                    seed=args.seed, N=n_train_agents, T=3)
+    model.train(data, nEpochs, batch, validationInterval=20,
+                probExpert=0.993)
+    res = model.evaluate(data)
+    print(f"  small-swarm closed-loop cost: {res['costBestFull']:.4f}")
+
+    # -- 2. deploy big: same params, env-only construction ------------------
+    print(f"== deploy: {n_deploy} agents (ellDegree={args.ellDegree}, "
+          f"envChunk={env_chunk}) ==")
+    env = Flocking.for_rollout(n_deploy, commRadius=2.0, repelDist=1.0,
+                               samplingTime=dt,
+                               rng=np.random.default_rng(args.seed + 1))
+    ip, iv = env.compute_initial_positions(
+        n_deploy, 2, env.commRadius, minDist=env.initMinDist,
+        geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
+    params = model.params        # trainer reloads 'Best' after training
+    policy = lambda p, xw, Sw: arch.apply(p, jnp.asarray(xw, jnp.float32),
+                                          Sw)
+    t0 = time.perf_counter()
+    pos, vel, accel, states, graphs = env.compute_trajectory(
+        ip, iv, deploy_T_s, archit=policy, params=params,
+        history_window=arch.causal_window, ell_degree=args.ellDegree,
+        env_chunk=env_chunk, lam_method="power")
+    t_roll = time.perf_counter() - t0
+    cost = float(env.evaluate(vel=vel))
+    T_steps = vel.shape[1]
+    print(f"  {T_steps}-step closed loop: {t_roll:.2f}s "
+          f"({2 * n_deploy * T_steps / t_roll:,.0f} agent-steps/s incl. "
+          f"compile), velocity-variance cost {cost:.4f}")
+    print(f"  dense graph history would be "
+          f"{2 * T_steps * n_deploy ** 2 * 4 / 2 ** 30:.1f} GiB; "
+          f"ELL is {2 * T_steps * n_deploy * args.ellDegree * 8 / 2 ** 20:.0f} MiB")
+    return {"cost_small": res["costBestFull"], "cost_big": cost}
+
+
+if __name__ == "__main__":
+    main()
