@@ -145,6 +145,35 @@ def _jnp_env_step_chunked(pos, vel, comm_radius, d_max, chunk,
     return idx, val / lam[:, None, None], states, v
 
 
+def _jnp_expert_accel_chunked(pos, vel, repel_dist, accel_max,
+                              chunk: int):
+    """Centralized expert acceleration, jitted and O(B·chunk·N): the
+    velocity-consensus term is GLOBAL (−Σ_j (v_i − v_j) = −(N·v_i − Σv),
+    an O(N) reduction — no pairwise work), and the collision-avoidance
+    term only involves pairs within repel_dist, summed per row chunk.
+    Exact vs the numpy expert (reference dataTools.py:3406-3507 /
+    compute_optimal_trajectory's inner step)."""
+    import jax
+    import jax.numpy as jnp
+    B, _, N = pos.shape
+    assert N % chunk == 0, (N, chunk)
+    r2 = repel_dist ** 2
+    vel_term = -(N * vel - jnp.sum(vel, axis=-1, keepdims=True))
+
+    def one(lo):
+        pr = jax.lax.dynamic_slice(pos, (0, 0, lo), (B, 2, chunk))
+        dp = pr[..., :, None] - pos[:, :, None, :]      # B,2,chunk,N
+        d2 = jnp.sum(dp ** 2, axis=1)                   # B,chunk,N
+        m = (d2 < r2).astype(pos.dtype)
+        inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0)
+        w = (m * (inv ** 2 + inv))[:, None]             # B,1,chunk,N
+        return 2.0 * jnp.sum(dp * w, axis=-1)           # B,2,chunk
+
+    reps = jax.lax.map(one, jnp.arange(N // chunk) * chunk)
+    repel = jnp.moveaxis(reps, 0, 2).reshape(B, 2, N)
+    return jnp.clip(vel_term + repel, -accel_max, accel_max)
+
+
 def compute_differences(u: np.ndarray):
     """Pairwise differences u_i - u_j and squared distances.
 
@@ -258,6 +287,111 @@ class Flocking(Data):
         self.pos, self.vel, self.accel = {}, {}, {}
         self.commGraph, self.state = {}, {}
         return self
+
+    @classmethod
+    def large(cls, nAgents, commRadius, repelDist, nTrain, nValid, nTest,
+              duration, samplingTime, ell_degree, env_chunk=None,
+              lam_iters: int = 8, gen_batch: int = 4, rng=None, **kw):
+        """Large-swarm TRAINING dataset: expert supervision generated
+        on-device (``generate_trajectories_large`` — jitted chunked
+        expert + chunked env, O(N·deg) everywhere) and the communication
+        graphs stored as a numpy-leaf ``EllGso`` instead of the dense
+        (B,T,N,N) stack (107 GB at N=4096, nTrain=8, T=100 — the
+        constructor path cannot run there). Rollout defaults are set so
+        TrainerFlocking/evaluate_flocking run DAGger, validation, and
+        closed-loop evaluation in the same O(N·deg) regime."""
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        self = cls.for_rollout(nAgents, commRadius, repelDist,
+                               samplingTime, rng=rng, **kw)
+        self.duration = float(duration)
+        self.nTrain, self.nValid, self.nTest = nTrain, nValid, nTest
+        if env_chunk is None:
+            env_chunk = max(nAgents // 8, 1)
+        self.rollout_ell_degree = ell_degree
+        self.rollout_lam_method = "power"
+        self.rollout_env_chunk = env_chunk
+        n_samples = nTrain + nValid + nTest
+        init_pos, init_vel = self.compute_initial_positions(
+            nAgents, n_samples, commRadius, minDist=self.initMinDist,
+            geometry=self.initGeometry, xMaxInitVel=self.initVelValue,
+            yMaxInitVel=self.initVelValue)
+        outs = []
+        for lo in range(0, n_samples, gen_batch):
+            outs.append(self.generate_trajectories_large(
+                init_pos[lo:lo + gen_batch], init_vel[lo:lo + gen_batch],
+                duration, ell_degree, env_chunk, lam_iters=lam_iters))
+        pos, vel, accel, state = (np.concatenate([o[i] for o in outs], 0)
+                                  for i in range(4))
+        gidx = np.concatenate([np.asarray(o[4].idx) for o in outs], 0)
+        gval = np.concatenate([np.asarray(o[4].val) for o in outs], 0)
+        bounds = [0, nTrain, nTrain + nValid, n_samples]
+        for i, name in enumerate(("train", "valid", "test")):
+            sl = slice(bounds[i], bounds[i + 1])
+            self.samples[name]["signals"] = state[sl].copy()
+            self.samples[name]["targets"] = accel[sl].copy()
+            self.initPos[name] = init_pos[sl]
+            self.initVel[name] = init_vel[sl]
+            self.pos[name] = pos[sl]
+            self.vel[name] = vel[sl]
+            self.accel[name] = accel[sl]
+            self.commGraph[name] = ell_lib.EllGso(gidx[sl].copy(),
+                                                  gval[sl].copy())
+            self.state[name] = state[sl]
+        self.astype(np.float32)
+        return self
+
+    def generate_trajectories_large(self, init_pos, init_vel, duration,
+                                    ell_degree: int, env_chunk: int,
+                                    lam_iters: int = 8):
+        """Expert supervision at large N, fully on-device: ONE jitted
+        lax.scan rolls the centralized expert
+        (``_jnp_expert_accel_chunked``) and computes per-step states +
+        top-D ELL communication graphs (``_jnp_env_step_chunked``) —
+        every stage O(N·deg) memory, replacing the constructor's
+        host-side O(nSamples·T·N²) numpy generation at swarm sizes where
+        that cannot run. Returns numpy (pos, vel, accel, states
+        (B,T,6,N), graphs EllGso with (B,T,N,D) leaves)."""
+        import jax
+        import jax.numpy as jnp
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        dt = self.samplingTime
+        T = len(np.arange(0, duration, dt))
+        r = self.commRadius
+        repel = self.repelDist
+        a_max_exp = 100.0                 # expert clip, reference default
+        D, chunk = ell_degree, env_chunk
+
+        @jax.jit
+        def gen(pos0, vel0):
+            B, _, N = pos0.shape
+            v0 = jnp.ones((B, N), pos0.dtype) / jnp.sqrt(N)
+
+            def step(carry, _):
+                pos, vel, v = carry
+                i_t, s_t, x_t, v = _jnp_env_step_chunked(
+                    pos, vel, r, D, chunk, v, lam_iters=lam_iters)
+                a = _jnp_expert_accel_chunked(pos, vel, repel, a_max_exp,
+                                              chunk)
+                vel_n = a * dt + vel
+                pos_n = a * dt * dt / 2 + vel * dt + pos
+                return (pos_n, vel_n, v), (pos, vel, a, x_t, (i_t, s_t))
+
+            carry = (pos0, vel0, v0)
+            _, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
+                                                      length=T)
+            swap = lambda z: jnp.moveaxis(z, 0, 1)
+            # reference convention: accel[T-1] stays zero (it never
+            # drives a transition inside the horizon)
+            accel = swap(acc).at[:, T - 1].set(0.0)
+            return (swap(pos), swap(vel), accel, swap(xs),
+                    (swap(Ss[0]), swap(Ss[1])))
+
+        pos0 = jnp.asarray(init_pos, jnp.float32)
+        vel0 = jnp.asarray(init_vel, jnp.float32)
+        pos, vel, accel, states, (gi, gv) = gen(pos0, vel0)
+        graphs = ell_lib.EllGso(np.asarray(gi), np.asarray(gv)[:, :, None])
+        return (np.asarray(pos), np.asarray(vel), np.asarray(accel),
+                np.asarray(states), graphs)
 
     # -- reference-named aliases -------------------------------------------
     def getData(self, name, samplesType, *args):
@@ -705,10 +839,18 @@ class Flocking(Data):
         return float(np.mean(np.sum(cost_t, axis=1)))
 
     def astype(self, dataType):
+        from graph_neural_networks_tpu.ops import ell as ell_lib
         for key in ("train", "valid", "test"):
             for store in (self.initPos, self.initVel, self.pos, self.vel,
                           self.accel, self.commGraph, self.state):
-                store[key] = np.asarray(store[key]).astype(dataType)
+                if key not in store:
+                    continue              # env-only / large construction
+                if isinstance(store[key], ell_lib.EllGso):
+                    store[key] = ell_lib.EllGso(
+                        np.asarray(store[key].idx),
+                        np.asarray(store[key].val).astype(dataType))
+                else:
+                    store[key] = np.asarray(store[key]).astype(dataType)
         super().astype(dataType)
 
     def expandDims(self):

@@ -307,17 +307,59 @@ class TrainerFlocking(Trainer):
         self.DAGgerType = kwargs.get("DAGgerType", "randomEpoch")
         # ellDegree=D: feed the train step ops.ell.EllGso graphs (O(N·D))
         # instead of the dense (B,T,N,N) stack — large-swarm training.
-        # DAGger trajectory storage stays dense numpy (host side).
+        # When the DATASET already stores its commGraph as an EllGso
+        # (Flocking.large), the whole trainer pipeline — storage,
+        # batching, DAGger mutation, expert relabeling — stays in the
+        # O(N·deg) layout and nothing dense(N²) is ever built.
         self.ellDegree = kwargs.get("ellDegree")
         super().__init__(model, data, nEpochs, batchSize, **kwargs)
         # training trajectories (kept in numpy; DAGger mutates them)
         self.xAll, self.yAll = data.getSamples("train")
-        self.SAll = data.getData("commGraph", "train")
+        self.SAll = self._S_copy(data.getData("commGraph", "train"))
         self.initPosAll = data.getData("initPos", "train")
         self.initVelAll = data.getData("initVel", "train")
         self.xOrig = self.xAll.copy()
         self.yOrig = self.yAll.copy()
-        self.SOrig = self.SAll.copy()
+        self.SOrig = self._S_copy(self.SAll)
+
+    # -- graph-trajectory storage ops (dense numpy OR numpy-leaf EllGso) ----
+    @staticmethod
+    def _is_ell(S):
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        return isinstance(S, ell_lib.EllGso)
+
+    @staticmethod
+    def _S_copy(S):
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        if isinstance(S, ell_lib.EllGso):
+            return ell_lib.EllGso(np.copy(np.asarray(S.idx)),
+                                  np.copy(np.asarray(S.val)))
+        return S.copy()
+
+    @staticmethod
+    def _S_index(S, idx):
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        if isinstance(S, ell_lib.EllGso):
+            return ell_lib.EllGso(np.asarray(S.idx)[idx],
+                                  np.asarray(S.val)[idx])
+        return S[idx]
+
+    @staticmethod
+    def _S_setitem(S, idx, value):
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        if isinstance(S, ell_lib.EllGso):
+            S.idx[idx] = value.idx
+            S.val[idx] = value.val
+        else:
+            S[idx] = value
+
+    @staticmethod
+    def _S_concat(a, b):
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        if isinstance(a, ell_lib.EllGso):
+            return ell_lib.EllGso(np.concatenate([a.idx, b.idx], 0),
+                                  np.concatenate([a.val, b.val], 0))
+        return np.concatenate([a, b], 0)
 
     # forward takes (x, S)
     def _build_step(self):
@@ -344,21 +386,24 @@ class TrainerFlocking(Trainer):
     def train_batch(self, idx):
         x = self.xAll[idx]
         y = self.yAll[idx]
-        S = self.SAll[idx]
+        S = self._S_index(self.SAll, idx)
         if self.doDAGger and self.DAGgerType == "fixedBatch" \
                 and self._step_count > 0:
             xD, yD, SD = self._fixed_batch_dagger(self.initPosAll[idx],
                                                   self.initVelAll[idx])
             x = np.concatenate([x, xD], 0)
             y = np.concatenate([y, yD], 0)
-            S = np.concatenate([S, SD], 0)
+            S = self._S_concat(S, SD)
         t0 = _time.perf_counter()
-        S5 = S[:, :, None] if S.ndim == 4 else S
-        if self.ellDegree is not None:
-            from graph_neural_networks_tpu.ops import ell as ell_lib
-            S5 = ell_lib.ell_from_dense(S5, d_max=self.ellDegree)
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        if self._is_ell(S):
+            S5 = ell_lib.EllGso(jnp.asarray(S.idx), jnp.asarray(S.val))
         else:
-            S5 = jnp.asarray(S5, jnp.float32)
+            S5 = S[:, :, None] if S.ndim == 4 else S
+            if self.ellDegree is not None:
+                S5 = ell_lib.ell_from_dense(S5, d_max=self.ellDegree)
+            else:
+                S5 = jnp.asarray(S5, jnp.float32)
         params, opt_state, loss = self._step(
             self.model.params, self.model.opt_state,
             jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
@@ -402,10 +447,22 @@ class TrainerFlocking(Trainer):
 
     def _expert_accel(self, pos, vel):
         """Optimal acceleration along a visited trajectory
-        (reference training.py:1320-1400)."""
+        (reference training.py:1320-1400). With a chunked env configured
+        (Flocking.large / rollout_env_chunk) the jitted O(N·deg) expert
+        runs instead of the O(T·N²) numpy pairwise build."""
+        data = self.data
+        chunk = getattr(data, "rollout_env_chunk", None)
+        if chunk:
+            from graph_neural_networks_tpu.data.flocking import (
+                _jnp_expert_accel_chunked)
+            B, T, _, N = pos.shape
+            a = _jnp_expert_accel_chunked(
+                jnp.asarray(pos.reshape(B * T, 2, N), jnp.float32),
+                jnp.asarray(vel.reshape(B * T, 2, N), jnp.float32),
+                data.repelDist, data.accelMax, chunk)
+            return np.asarray(a, np.float64).reshape(B, T, 2, N)
         from graph_neural_networks_tpu.data.flocking import compute_differences
         from graph_neural_networks_tpu.data.base import invert_tensor_ew
-        data = self.data
         diff_pos, dist_sq = compute_differences(pos)
         diff_vel, _ = compute_differences(vel)
         repel = (dist_sq < data.repelDist ** 2).astype(np.float64)
@@ -438,13 +495,23 @@ class TrainerFlocking(Trainer):
                 params=self.model.params, history_window=window)
             from graph_neural_networks_tpu.ops import ell as ell_lib
             if isinstance(graphs, ell_lib.EllGso):
-                # DAGger trajectory storage is dense numpy (B,T,N,N)
-                graphs = ell_lib.ell_to_dense(graphs)[:, :, 0]
+                if self._is_ell(self.SAll):
+                    # O(N·deg) storage end-to-end (Flocking.large)
+                    graphs = ell_lib.EllGso(
+                        np.asarray(graphs.idx)[:keep],
+                        np.asarray(graphs.val)[:keep])
+                else:
+                    # DAGger trajectory storage is dense numpy (B,T,N,N)
+                    graphs = ell_lib.ell_to_dense(graphs)[:keep, :, 0]
+            else:
+                graphs = graphs[:keep]
             y = self._expert_accel(pos, vel)
-            outs.append((states[:keep], y[:keep], graphs[:keep]))
+            outs.append((states[:keep], y[:keep], graphs))
         states = np.concatenate([o[0] for o in outs], 0)
         y = np.concatenate([o[1] for o in outs], 0)
-        graphs = np.concatenate([o[2] for o in outs], 0)
+        graphs = outs[0][2]
+        for o in outs[1:]:
+            graphs = self._S_concat(graphs, o[2])
         return states, y, graphs
 
     # -- DAGger variants ---------------------------------------------------
@@ -458,13 +525,13 @@ class TrainerFlocking(Trainer):
         learner_idx = np.flatnonzero(~use_expert)
         self.xAll = self.xOrig.copy()
         self.yAll = self.yOrig.copy()
-        self.SAll = self.SOrig.copy()
+        self.SAll = self._S_copy(self.SOrig)
         if len(learner_idx):
             xs, ys, Ss = self._rollout_policy(self.initPosAll[learner_idx],
                                               self.initVelAll[learner_idx])
             self.xAll[learner_idx] = xs
             self.yAll[learner_idx] = ys
-            self.SAll[learner_idx] = Ss
+            self._S_setitem(self.SAll, learner_idx, Ss)
 
     def _replace_time_batch_dagger(self, epoch, nReplace: int = 10):
         n = self.xAll.shape[0]
@@ -474,7 +541,7 @@ class TrainerFlocking(Trainer):
                                           self.initVelAll[sel])
         self.xAll[sel] = xs
         self.yAll[sel] = ys
-        self.SAll[sel] = Ss
+        self._S_setitem(self.SAll, sel, Ss)
 
     # -- validation: closed-loop cost --------------------------------------
     def _valid_cost(self, params):

@@ -303,6 +303,72 @@ def test_trainer_flocking_env_chunk(flock, tmp_path):
         flock.rollout_env_chunk = None
 
 
+def test_generate_trajectories_large_parity(flock):
+    """The fully-jitted large-swarm expert generation (chunked expert +
+    chunked env inside one scan) reproduces the constructor's host-side
+    numpy generation: trajectories, states, and ELL graphs."""
+    import jax.numpy as jnp
+    from graph_neural_networks_tpu.data import flocking as F
+
+    ip = flock.getData("initPos", "train")[:3]
+    iv = flock.getData("initVel", "train")[:3]
+
+    # single-step expert parity vs the numpy expert formula
+    pos = jnp.asarray(ip, jnp.float32)
+    vel = jnp.asarray(iv, jnp.float32)
+    from graph_neural_networks_tpu.data.base import invert_tensor_ew
+    dp, d2 = F.compute_differences(np.asarray(ip))
+    dv, _ = F.compute_differences(np.asarray(iv))
+    repel = (d2 < flock.repelDist ** 2).astype(np.float64)
+    inv = invert_tensor_ew(d2)[:, None]
+    a_ref = np.clip(-dv.sum(-1) + 2 * ((dp * repel[:, None])
+                                       * (inv ** 2 + inv)).sum(-1),
+                    -100.0, 100.0)
+    a_jit = F._jnp_expert_accel_chunked(pos, vel, flock.repelDist,
+                                        100.0, chunk=5)
+    np.testing.assert_allclose(a_jit, a_ref, rtol=2e-4, atol=2e-4)
+
+    # short-horizon full generation vs the host pipeline
+    T_s = 0.3                                   # 3 steps: f32 vs f64 ok
+    pos_h, vel_h, acc_h = flock.compute_optimal_trajectory(
+        ip, iv, T_s, flock.samplingTime, flock.repelDist)
+    g_h = flock.compute_communication_graph(pos_h, flock.commRadius, True)
+    x_h = flock.compute_states(pos_h, vel_h, g_h)
+    pos_j, vel_j, acc_j, x_j, graphs = flock.generate_trajectories_large(
+        ip, iv, T_s, ell_degree=10, env_chunk=5, lam_iters=64)
+    np.testing.assert_allclose(pos_j, pos_h, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(vel_j, vel_h, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(acc_j, acc_h, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(x_j, x_h, rtol=1e-3, atol=1e-3)
+    S_j = ell_lib.ell_to_dense(graphs)[:, :, 0]
+    np.testing.assert_allclose(S_j, g_h, rtol=1e-4, atol=1e-4)
+
+
+def test_flocking_large_training_end_to_end(tmp_path):
+    """Flocking.large: on-device expert generation, EllGso graph storage,
+    and a full TrainerFlocking run (DAGger epoch + validation +
+    closed-loop eval) with nothing dense-(N,N) in the training data."""
+    from graph_neural_networks_tpu import training as T
+    from graph_neural_networks_tpu.data.flocking import Flocking
+
+    data = Flocking.large(10, commRadius=6.0, repelDist=1.0, nTrain=8,
+                          nValid=2, nTest=2, duration=0.5,
+                          samplingTime=0.125, ell_degree=10, env_chunk=5,
+                          lam_iters=32, rng=np.random.default_rng(11))
+    assert isinstance(data.getData("commGraph", "train"), ell_lib.EllGso)
+    assert data.samples["train"]["signals"].shape[2] == 6
+
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    model = T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
+                    T.TrainerFlocking, T.evaluate_flocking,
+                    name="flockLarge", saveDir=str(tmp_path), N=10, T=4)
+    out = model.train(data, nEpochs=2, batchSize=4, validationInterval=2,
+                      probExpert=0.9, ellDegree=10)
+    assert np.isfinite(out["lossTrain"]).all()
+    res = model.evaluate(data)
+    assert np.isfinite(res["costBestFull"])
+
+
 def test_flocking_env_chunked_parity(flock):
     """The O(N·deg)-memory chunked env step (env_chunk): one step matches
     the dense env exactly (graph + states + lambda), and the full
