@@ -38,6 +38,11 @@ def main():
                          "(default: deployAgents//8, 0 disables)")
     ap.add_argument("--duration", type=float, default=None,
                     help="deployment rollout duration in seconds")
+    ap.add_argument("--largeTrain", action="store_true",
+                    help="train with Flocking.large: expert supervision "
+                         "generated on-device, EllGso graph storage — "
+                         "O(N*deg) end-to-end, so --trainAgents can be "
+                         "thousands too")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -73,19 +78,29 @@ def main():
     if env_chunk == 0:
         env_chunk = None
 
-    # -- 1. train small (standard flocking imitation + DAGger) -------------
-    print(f"== train: {n_train_agents} agents ==")
-    data = D.Flocking(nAgents=n_train_agents, commRadius=2.0,
-                      repelDist=1.0, nTrain=nTrain, nValid=nValid,
-                      nTest=nTest, duration=duration, samplingTime=dt,
-                      rng=rng)
+    # -- 1. train (standard pipeline, or O(N*deg) end-to-end) ---------------
+    print(f"== train: {n_train_agents} agents "
+          f"({'Flocking.large' if args.largeTrain else 'standard'}) ==")
+    if args.largeTrain:
+        data = Flocking.large(n_train_agents, commRadius=2.0,
+                              repelDist=1.0, nTrain=nTrain, nValid=nValid,
+                              nTest=nTest, duration=duration,
+                              samplingTime=dt, ell_degree=args.ellDegree,
+                              rng=rng)
+    else:
+        data = D.Flocking(nAgents=n_train_agents, commRadius=2.0,
+                          repelDist=1.0, nTrain=nTrain, nValid=nValid,
+                          nTest=nTest, duration=duration, samplingTime=dt,
+                          rng=rng)
     arch = archt.LocalGNN_DB(F, K, True, "tanh", [2], 1)
     model = T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
                     T.TrainerFlocking, T.evaluate_flocking,
                     name="LocalGNNxfer", saveDir=args.saveDir,
-                    seed=args.seed, N=n_train_agents, T=3)
+                    seed=args.seed, N=min(n_train_agents, 64), T=3)
     model.train(data, nEpochs, batch, validationInterval=20,
-                probExpert=0.993)
+                probExpert=0.993,
+                **({"ellDegree": args.ellDegree} if args.largeTrain
+                   else {}))
     res = model.evaluate(data)
     print(f"  small-swarm closed-loop cost: {res['costBestFull']:.4f}")
 

@@ -305,6 +305,7 @@ class Flocking(Data):
                                samplingTime, rng=rng, **kw)
         self.duration = float(duration)
         self.nTrain, self.nValid, self.nTest = nTrain, nValid, nTest
+        ell_degree = min(ell_degree, nAgents)
         if env_chunk is None:
             env_chunk = max(nAgents // 8, 1)
         self.rollout_ell_degree = ell_degree
@@ -597,7 +598,7 @@ class Flocking(Data):
 
             def rollout_chunked(params, init_pos, init_vel):
                 B, _, N = init_pos.shape
-                D = ell_degree
+                D = min(ell_degree, N)
                 v0 = jnp.ones((B, N), init_pos.dtype) / jnp.sqrt(N)
                 i0, s0, x0, v0 = _jnp_env_step_chunked(
                     init_pos, init_vel, r, D, env_chunk, v0,
@@ -652,15 +653,15 @@ class Flocking(Data):
                 as_hist = lambda Sw: Sw
                 to_out = lambda S_n: S_n
             else:
-                e0 = ell_lib.ell_topk(S0[:, None], ell_degree)  # lead (B,)
-                iw = jnp.zeros((B, w, N, ell_degree),
+                D = min(ell_degree, N)
+                e0 = ell_lib.ell_topk(S0[:, None], D)           # lead (B,)
+                iw = jnp.zeros((B, w, N, D),
                                jnp.int32).at[:, -1].set(e0.idx)
-                vw = jnp.zeros((B, w, 1, N, ell_degree),
+                vw = jnp.zeros((B, w, 1, N, D),
                                init_pos.dtype).at[:, -1].set(e0.val)
                 Sw = (iw, vw)
                 as_hist = lambda Sw: ell_lib.EllGso(*Sw)
-                to_out = lambda S_n: ell_lib.ell_topk(S_n[:, None],
-                                                      ell_degree)
+                to_out = lambda S_n: ell_lib.ell_topk(S_n[:, None], D)
 
             def roll_window(Sw, S_new):
                 if ell_degree is None:
