@@ -362,7 +362,14 @@ class Flocking(Data):
         a_max_exp = 100.0                 # expert clip, reference default
         D, chunk = ell_degree, env_chunk
 
-        @jax.jit
+        # cache the jitted generator per static config so repeated
+        # sample-batch calls (Flocking.large's gen_batch loop) do not
+        # re-trace — remote compiles through the tunnel are expensive
+        key = ("gen_large", T, D, chunk, lam_iters)
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+
         def gen(pos0, vel0):
             B, _, N = pos0.shape
             v0 = jnp.ones((B, N), pos0.dtype) / jnp.sqrt(N)
@@ -387,9 +394,11 @@ class Flocking(Data):
             return (swap(pos), swap(vel), accel, swap(xs),
                     (swap(Ss[0]), swap(Ss[1])))
 
+        if key not in cache:
+            cache[key] = jax.jit(gen)
         pos0 = jnp.asarray(init_pos, jnp.float32)
         vel0 = jnp.asarray(init_vel, jnp.float32)
-        pos, vel, accel, states, (gi, gv) = gen(pos0, vel0)
+        pos, vel, accel, states, (gi, gv) = cache[key](pos0, vel0)
         graphs = ell_lib.EllGso(np.asarray(gi), np.asarray(gv)[:, :, None])
         return (np.asarray(pos), np.asarray(vel), np.asarray(accel),
                 np.asarray(states), graphs)
