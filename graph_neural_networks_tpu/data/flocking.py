@@ -145,6 +145,15 @@ def _jnp_env_step_chunked(pos, vel, comm_radius, d_max, chunk,
     return idx, val / lam[:, None, None], states, v
 
 
+def _fit_chunk(n: int, chunk: int) -> int:
+    """Largest divisor of n that is <= chunk (the chunked env/expert
+    kernels require the row-chunk to divide N exactly)."""
+    chunk = max(min(int(chunk), n), 1)
+    while n % chunk:
+        chunk -= 1
+    return chunk
+
+
 def _jnp_expert_accel_chunked(pos, vel, repel_dist, accel_max,
                               chunk: int):
     """Centralized expert acceleration, jitted and O(B·chunk·N): the
@@ -306,8 +315,8 @@ class Flocking(Data):
         self.duration = float(duration)
         self.nTrain, self.nValid, self.nTest = nTrain, nValid, nTest
         ell_degree = min(ell_degree, nAgents)
-        if env_chunk is None:
-            env_chunk = max(nAgents // 8, 1)
+        env_chunk = _fit_chunk(nAgents, nAgents // 8 if env_chunk is None
+                               else env_chunk)
         self.rollout_ell_degree = ell_degree
         self.rollout_lam_method = "power"
         self.rollout_env_chunk = env_chunk
@@ -608,9 +617,10 @@ class Flocking(Data):
             def rollout_chunked(params, init_pos, init_vel):
                 B, _, N = init_pos.shape
                 D = min(ell_degree, N)
+                chunk = _fit_chunk(N, env_chunk)
                 v0 = jnp.ones((B, N), init_pos.dtype) / jnp.sqrt(N)
                 i0, s0, x0, v0 = _jnp_env_step_chunked(
-                    init_pos, init_vel, r, D, env_chunk, v0,
+                    init_pos, init_vel, r, D, chunk, v0,
                     lam_iters=max(lam_iters, 32))   # cold start: converge
                 xw = jnp.zeros((B, w, 6, N),
                                init_pos.dtype).at[:, -1].set(x0)
@@ -625,7 +635,7 @@ class Flocking(Data):
                     vel_n = a * dt + vel_t
                     pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
                     i_n, s_n, x_n, v = _jnp_env_step_chunked(
-                        pos_n, vel_n, r, D, env_chunk, v,
+                        pos_n, vel_n, r, D, chunk, v,
                         lam_iters=lam_iters)
                     xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
                     iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)

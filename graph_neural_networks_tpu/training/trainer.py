@@ -454,12 +454,12 @@ class TrainerFlocking(Trainer):
         chunk = getattr(data, "rollout_env_chunk", None)
         if chunk:
             from graph_neural_networks_tpu.data.flocking import (
-                _jnp_expert_accel_chunked)
+                _fit_chunk, _jnp_expert_accel_chunked)
             B, T, _, N = pos.shape
             a = _jnp_expert_accel_chunked(
                 jnp.asarray(pos.reshape(B * T, 2, N), jnp.float32),
                 jnp.asarray(vel.reshape(B * T, 2, N), jnp.float32),
-                data.repelDist, data.accelMax, chunk)
+                data.repelDist, data.accelMax, _fit_chunk(N, chunk))
             return np.asarray(a, np.float64).reshape(B, T, 2, N)
         from graph_neural_networks_tpu.data.flocking import compute_differences
         from graph_neural_networks_tpu.data.base import invert_tensor_ew
