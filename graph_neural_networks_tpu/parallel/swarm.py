@@ -23,6 +23,7 @@ reference dataTools.py:2612-3020 + 3166-3340 (single-device numpy).
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import numpy as np
 
@@ -62,12 +63,15 @@ def pad_swarm(pos, vel, mesh: Mesh, axis: str = "graph",
 
 
 def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
-                     axis: str = "graph", v_prev=None, lam_iters: int = 8):
+                     axis: str = "graph", v_prev=None, lam_iters: int = 8,
+                     env_chunk: Optional[int] = None):
     """One env step on node-sharded (B,2,N_pad) pos/vel. Returns
     (idx (B,Np·P,D) row-sharded with global column ids, val_norm
     (B,Np·P,D) row-sharded, states (B,6,N_pad) node-sharded,
     v (B,N_pad) node-sharded) — matching data.flocking's
-    ``_jnp_env_step_chunked`` exactly when d_max covers the max degree."""
+    ``_jnp_env_step_chunked`` exactly when d_max covers the max degree.
+    env_chunk sub-chunks each chip's OWN rows (workspace O(B·chunk·N)
+    per chip instead of O(B·Np·N) — the million-agent regime)."""
     r2 = comm_radius ** 2
 
     @partial(shard_map, mesh=mesh,
@@ -80,23 +84,40 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
         pos_full = jax.lax.all_gather(pos_blk, axis, axis=2, tiled=True)
         vel_full = jax.lax.all_gather(vel_blk, axis, axis=2, tiled=True)
         N = pos_full.shape[-1]
-        lo = jax.lax.axis_index(axis) * Np
-        rows = lo + jnp.arange(Np)
+        lo0 = jax.lax.axis_index(axis) * Np
         cols = jnp.arange(N)
-        dp = pos_blk[..., :, None] - pos_full[:, :, None, :]   # B,2,Np,N
-        d2 = jnp.sum(dp ** 2, axis=1)                          # B,Np,N
-        m = ((d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
-             & (cols[None, None, :] != rows[None, :, None]))
-        mf = m.astype(pos_blk.dtype)
-        val01, idx = jax.lax.top_k(mf, d_max)                  # B,Np,D
-        idx = idx.astype(jnp.int32)
-        dv = vel_blk[..., :, None] - vel_full[:, :, None, :]
-        inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
-        inv = inv[:, None]
-        mfe = mf[:, None]
-        states = jnp.concatenate(
-            [jnp.sum(dv * mfe, -1), jnp.sum(dp * inv ** 2, -1),
-             jnp.sum(dp * inv, -1)], axis=-2)                  # B,6,Np
+        from graph_neural_networks_tpu.data.flocking import _fit_chunk
+        chunk = Np if env_chunk is None else _fit_chunk(Np, env_chunk)
+
+        def one(lo_local):
+            pr = jax.lax.dynamic_slice(pos_blk, (0, 0, lo_local),
+                                       (B, 2, chunk))
+            vr = jax.lax.dynamic_slice(vel_blk, (0, 0, lo_local),
+                                       (B, 2, chunk))
+            rows = lo0 + lo_local + jnp.arange(chunk)
+            dp = pr[..., :, None] - pos_full[:, :, None, :]  # B,2,c,N
+            d2 = jnp.sum(dp ** 2, axis=1)                    # B,c,N
+            m = ((d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
+                 & (cols[None, None, :] != rows[None, :, None]))
+            mf = m.astype(pos_blk.dtype)
+            val01, idx = jax.lax.top_k(mf, d_max)            # B,c,D
+            dv = vr[..., :, None] - vel_full[:, :, None, :]
+            inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
+            inv = inv[:, None]
+            mfe = mf[:, None]
+            st = jnp.concatenate(
+                [jnp.sum(dv * mfe, -1), jnp.sum(dp * inv ** 2, -1),
+                 jnp.sum(dp * inv, -1)], axis=-2)            # B,6,c
+            return idx.astype(jnp.int32), val01, st
+
+        if chunk == Np:
+            idx, val01, states = one(0)
+        else:
+            idxs, vals, sts = jax.lax.map(
+                one, jnp.arange(Np // chunk) * chunk)
+            idx = jnp.moveaxis(idxs, 0, 1).reshape(B, Np, d_max)
+            val01 = jnp.moveaxis(vals, 0, 1).reshape(B, Np, d_max)
+            states = jnp.moveaxis(sts, 0, 2).reshape(B, 6, Np)
 
         ell_blk = ell_lib.EllGso(idx, val01[:, None])
 
@@ -124,7 +145,8 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
 def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
                           dt: float, accel_max: float, d_max: int,
                           mesh: Mesh, axis: str = "graph", n_orig=None,
-                          lam_iters: int = 8):
+                          lam_iters: int = 8,
+                          env_chunk: Optional[int] = None):
     """Build a jitted closed-loop rollout over the mesh: the mirror of
     ``Flocking._scan_rollout(env_chunk=...)`` with every array
     node-sharded and the graph windows as ShardedEllGso. policy:
@@ -138,7 +160,8 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
 
     def env(pos, vel, v):
         return sharded_env_step(pos, vel, comm_radius, d_max, mesh,
-                                axis, v_prev=v, lam_iters=lam_iters)
+                                axis, v_prev=v, lam_iters=lam_iters,
+                                env_chunk=env_chunk)
 
     def rollout(params, init_pos, init_vel):
         B, _, Npad = init_pos.shape
@@ -147,7 +170,7 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
         v0 = jnp.ones((B, Npad), init_pos.dtype) / jnp.sqrt(Npad)
         i0, s0, x0, v0 = sharded_env_step(
             init_pos, init_vel, comm_radius, d_max, mesh, axis,
-            v_prev=v0, lam_iters=max(lam_iters, 32))
+            v_prev=v0, lam_iters=max(lam_iters, 32), env_chunk=env_chunk)
         xw = jnp.zeros((B, w, 6, Npad), init_pos.dtype).at[:, -1].set(x0)
         iw = jnp.zeros((B, w, Npad, d_max), jnp.int32).at[:, -1].set(i0)
         vw = jnp.zeros((B, w, 1, Npad, d_max),

@@ -169,9 +169,12 @@ def test_sharded_swarm_rollout_parity(gmesh, n_agents):
         env_chunk=N // 2, lam_iters=64)
 
     pos_p, vel_p, n_orig = par.pad_swarm(ip, iv, gmesh)
+    # sub-chunk the per-shard rows on one parametrization (exercises the
+    # million-agent O(B*chunk*N)-per-chip workspace path)
     roll = par.sharded_swarm_rollout(
         T, w, policy, env.commRadius, env.samplingTime, env.accelMax,
-        d_max=N, mesh=gmesh, n_orig=n_orig, lam_iters=64)
+        d_max=N, mesh=gmesh, n_orig=n_orig, lam_iters=64,
+        env_chunk=1 if n_agents == 12 else None)
     pos_s, vel_s, accel_s, states_s, graphs_s = roll(params, pos_p, vel_p)
     assert isinstance(graphs_s, par.ShardedEllGso)
     np.testing.assert_allclose(np.asarray(pos_s)[..., :N], pos_ref,
