@@ -114,7 +114,7 @@ def _jnp_env_step_chunked(pos, vel, comm_radius, d_max, chunk,
         m = ((d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
              & (cols[None, None, :] != rows[None, :, None]))
         mf = m.astype(pos.dtype)
-        val, idx = jax.lax.top_k(mf, d_max)             # B,chunk,D
+        val, idx = _env_topk(mf, d_max)                 # B,chunk,D
         dv = vr[..., :, None] - vel[:, :, None, :]      # B,2,chunk,N
         inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
         inv = inv[:, None]                              # B,1,chunk,N
@@ -143,6 +143,34 @@ def _jnp_env_step_chunked(pos, vel, comm_radius, d_max, chunk,
     lam = jnp.einsum("bn,bn->b", v, mv(v))
     lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
     return idx, val / lam[:, None, None], states, v
+
+
+def _topk_blocked(scores, k: int, block: int):
+    """Exact top-k along the last axis in two stages: per-block top-k,
+    then top-k over the nb·k candidates. Any global top-k element is in
+    its own block's top-k (k <= block), so this is exact — it exists to
+    avoid single-stage sorts over huge lane counts (suspected TPU device
+    fault at 65536-wide top_k). Requires N % block == 0."""
+    import jax
+    import jax.numpy as jnp
+    *L, N = scores.shape
+    nb = N // block
+    s = scores.reshape(*L, nb, block)
+    v1, i1 = jax.lax.top_k(s, k)                  # (*L, nb, k)
+    gidx = (i1 + (jnp.arange(nb) * block)[:, None]).reshape(*L, nb * k)
+    v2, i2 = jax.lax.top_k(v1.reshape(*L, nb * k), k)
+    idx = jnp.take_along_axis(gidx, i2, axis=-1)
+    return v2, idx
+
+
+def _env_topk(mf, d_max: int, block: int = 2048):
+    """top_k used by the env steps: single-stage for ordinary N, blocked
+    two-stage at huge lane counts."""
+    import jax
+    N = mf.shape[-1]
+    if N > 16384 and N % block == 0 and d_max <= block:
+        return _topk_blocked(mf, d_max, block)
+    return jax.lax.top_k(mf, d_max)
 
 
 def _fit_chunk(n: int, chunk: int) -> int:

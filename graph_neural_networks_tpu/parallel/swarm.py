@@ -100,7 +100,8 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
             m = ((d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
                  & (cols[None, None, :] != rows[None, :, None]))
             mf = m.astype(pos_blk.dtype)
-            val01, idx = jax.lax.top_k(mf, d_max)            # B,c,D
+            from graph_neural_networks_tpu.data.flocking import _env_topk
+            val01, idx = _env_topk(mf, d_max)                # B,c,D
             dv = vr[..., :, None] - vel_full[:, :, None, :]
             inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
             inv = inv[:, None]

@@ -369,6 +369,28 @@ def test_flocking_large_training_end_to_end(tmp_path):
     assert np.isfinite(res["costBestFull"])
 
 
+def test_topk_blocked_exact_on_binary_scores():
+    """Two-stage blocked top-k selects exactly the true neighbor set
+    (densified ELL equality; index order among binary ties may differ)."""
+    from graph_neural_networks_tpu.data.flocking import _topk_blocked
+    rng = np.random.default_rng(13)
+    B, N, D, block = 3, 64, 6, 16
+    mf = (rng.random((B, N)) < 0.05).astype(np.float32)
+    # cap true degree at D
+    for b in range(B):
+        on = np.flatnonzero(mf[b])
+        mf[b, on[D:]] = 0.0
+    v1, i1 = jax.lax.top_k(jnp.asarray(mf), D)
+    v2, i2 = _topk_blocked(jnp.asarray(mf), D, block)
+
+    def densify(v, i):
+        S = np.zeros((B, N))
+        np.add.at(S, (np.arange(B)[:, None], np.asarray(i)), np.asarray(v))
+        return S
+
+    np.testing.assert_array_equal(densify(v2, i2), densify(v1, i1))
+
+
 def test_flocking_env_chunked_parity(flock):
     """The O(N·deg)-memory chunked env step (env_chunk): one step matches
     the dense env exactly (graph + states + lambda), and the full
