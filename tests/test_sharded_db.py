@@ -187,6 +187,43 @@ def test_sharded_swarm_rollout_parity(gmesh, n_agents):
         np.testing.assert_allclose(pp, np.broadcast_to(pp[:, :1], pp.shape))
 
 
+def test_sharded_swarm_rollout_grnn_policy(gmesh):
+    """The recurrent controller (GraphRecurrentNN_DB) as the sharded
+    swarm policy: mesh rollout == single-device chunked rollout."""
+    from graph_neural_networks_tpu.data.flocking import Flocking
+
+    N = 12
+    env = Flocking.for_rollout(N, commRadius=6.0, repelDist=1.0,
+                               samplingTime=0.125,
+                               rng=np.random.default_rng(1))
+    ip, iv = env.compute_initial_positions(
+        N, 1, env.commRadius, minDist=env.initMinDist,
+        geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
+    arch = archt.GraphRecurrentNN_DB(6, 4, 8, [2, 2], True, "tanh",
+                                     "tanh", "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=N, T=2)
+
+    def policy(p, xw, Sw):
+        B = xw.shape[0]
+        z0 = jnp.zeros((B, 8, xw.shape[-1]), jnp.float32)
+        return arch.apply(p, jnp.asarray(xw, jnp.float32), Sw, z0=z0)
+
+    w = 3                                        # finite history window
+    T = 5
+    pos_ref, vel_ref, *_ = env.compute_trajectory(
+        ip, iv, T * env.samplingTime, archit=policy, params=params,
+        history_window=w, ell_degree=N, env_chunk=6, lam_iters=64)
+    pos_p, vel_p, n_orig = par.pad_swarm(ip, iv, gmesh)
+    roll = par.sharded_swarm_rollout(
+        T, w, policy, env.commRadius, env.samplingTime, env.accelMax,
+        d_max=N, mesh=gmesh, n_orig=n_orig, lam_iters=64)
+    pos_s, vel_s, *_ = roll(params, pos_p, vel_p)
+    np.testing.assert_allclose(np.asarray(pos_s)[..., :N], pos_ref,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vel_s)[..., :N], vel_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_ell_no_dense_at_scale(gmesh):
     """N=64k node-sharded DB shift: O(N·D/P) per chip, no N² anywhere."""
     N, B, T, D = 65536, 1, 2, 8
