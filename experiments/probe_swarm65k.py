@@ -52,12 +52,6 @@ def main():
     rng = np.random.default_rng(0)
     N = 65536
 
-    # 1. bare top_k at the env-chunk shape
-    x = jnp.asarray(rng.random((1, 4096, N)), jnp.float32)
-    guard("topk_4096x65536",
-          lambda: jax.jit(lambda a: jax.lax.top_k(a, 32))(x))
-    del x
-
     env = Flocking.for_rollout(N, commRadius=2.0, repelDist=1.0,
                                samplingTime=0.01,
                                rng=np.random.default_rng(0))
@@ -68,22 +62,33 @@ def main():
     vel = jnp.asarray(iv, jnp.float32)
     v0 = jnp.ones((1, N), jnp.float32) / np.sqrt(N)
 
-    # 2. one chunked env step, chunk 4096 then 2048
+    # 1. SAFE path first: one chunked env step (now uses the blocked
+    # two-stage top-k at this N); the suspected faulter runs LAST so a
+    # re-fault cannot block the information we need most.
+    ok = False
     for chunk in (4096, 2048):
         step = jax.jit(lambda p, v, vp, c=chunk: F._jnp_env_step_chunked(
             p, v, 2.0, 32, c, vp, lam_iters=8))
-        if guard(f"env_step_chunk{chunk}", lambda: step(pos, vel, v0)):
+        ok = guard(f"env_step_chunk{chunk}", lambda: step(pos, vel, v0))
+        if ok:
             break
 
-    # 3. short rollout
-    arch = archt.LocalGNN_DB([6, 16], [3], True, "tanh", [2], 1)
-    params = arch.init(jax.random.PRNGKey(0), N=32, T=3)
-    policy = lambda p, xw, Sw: arch.apply(
-        p, jnp.asarray(xw, jnp.float32), Sw)
-    roll = env._scan_rollout(5, arch.causal_window, policy,
-                             ell_degree=32, lam_method="power",
-                             env_chunk=4096, lam_iters=8)
-    guard("rollout_T5", lambda: roll(params, pos, vel))
+    # 2. short rollout on the safe path
+    if ok:
+        arch = archt.LocalGNN_DB([6, 16], [3], True, "tanh", [2], 1)
+        params = arch.init(jax.random.PRNGKey(0), N=32, T=3)
+        policy = lambda p, xw, Sw: arch.apply(
+            p, jnp.asarray(xw, jnp.float32), Sw)
+        roll = env._scan_rollout(5, arch.causal_window, policy,
+                                 ell_degree=32, lam_method="power",
+                                 env_chunk=4096, lam_iters=8)
+        guard("rollout_T5", lambda: roll(params, pos, vel))
+
+    # 3. LAST: the suspected faulter — bare single-stage top_k at
+    # (1, 4096, 65536). May wedge the chip; everything above already ran.
+    x = jnp.asarray(rng.random((1, 4096, N)), jnp.float32)
+    guard("topk_single_4096x65536",
+          lambda: jax.jit(lambda a: jax.lax.top_k(a, 32))(x))
 
     emit(done=True)
 
