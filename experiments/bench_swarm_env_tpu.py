@@ -45,10 +45,9 @@ def device_time(fn, *args, iters=3):
     return best / REPEAT
 
 
-@partial(jax.jit, static_argnames=("chunk", "mode", "d_max"))
-def env_chain(pos, vel, v0, chunk, mode, d_max):
-    """REPEAT chained env steps; mode picks the top-k form by patching
-    thresholds is brittle, so inline both variants here."""
+@partial(jax.jit, static_argnames=("chunk", "d_max"))
+def env_chain(pos, vel, v0, chunk, d_max):
+    """REPEAT chained env steps (library defaults for this N)."""
     r = 2.0
 
     def step(i, carry):
@@ -66,12 +65,11 @@ def env_chain(pos, vel, v0, chunk, mode, d_max):
 @partial(jax.jit, static_argnames=("chunk", "d_max", "block"))
 def topk_only_chain(mf, d_max, chunk, block):
     def step(i, acc):
+        scores = mf + 0.0 * acc          # data-dependence: no DCE/hoist
         if block:
-            v, ix = F._topk_blocked(mf + 0.0 * acc[..., None, :1, :1],
-                                    d_max, block)
+            v, ix = F._topk_blocked(scores, d_max, block)
         else:
-            v, ix = jax.lax.top_k(mf + 0.0 * acc[..., None, :1, :1],
-                                  d_max)
+            v, ix = jax.lax.top_k(scores, d_max)
         return acc + v.sum()
 
     return jax.lax.fori_loop(0, REPEAT, step, jnp.zeros(()))
@@ -95,7 +93,7 @@ def main():
 
     # full env step (current defaults: single-stage top_k at 16384)
     for chunk in (4096, 2048):
-        t = device_time(env_chain, pos, vel, v0, chunk, "default", D)
+        t = device_time(env_chain, pos, vel, v0, chunk, D)
         emit(tag="env_step", N=N, chunk=chunk, t_ms=t * 1e3)
 
     # bare top-k over one chunk's scores: single vs blocked
