@@ -246,6 +246,24 @@ def bench_dense(N, R, dtype_name="f32", K=5, repeat=20):
 
 
 def main():
+    # Watchdog: if the TPU pool is down, backend init/compiles HANG
+    # indefinitely (observed multi-hour outages after a device fault).
+    # Emit an honest error line and exit rather than hanging the caller.
+    import os
+    import threading
+
+    def _give_up():
+        print(json.dumps({
+            "metric": "lsigf_band_spmm_edges_per_s", "value": 0,
+            "unit": "ERROR: TPU backend unavailable for 45 min "
+                    "(device-pool outage); see experiments/logs/"
+                    "tpu_recovery.log", "vs_baseline": 0}), flush=True)
+        os._exit(2)
+
+    watchdog = threading.Timer(45 * 60, _give_up)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     # persistent compilation cache: the remote-compile tunnel makes fresh
     # compiles slow (~minutes); cached reruns take seconds
@@ -282,6 +300,7 @@ def main():
                             "kernel": "band"})
         for cfg in configs:
             res = bench_config(**cfg)
+            watchdog.cancel()     # chip alive; long sweeps are legitimate
             results.append(res)
             print(json.dumps(res), flush=True)
         import os
@@ -294,6 +313,7 @@ def main():
     # the fused K-tap register (one Pallas launch for all taps, signal
     # resident in VMEM between shifts).
     res = bench_config(N, R, density, bandwidth, "f32", "band_reg")
+    watchdog.cancel()             # chip alive past the first config
     t_dense = bench_dense(N, R, "f32")
     speedup = t_dense / (res["t_shift_ms"] / 1e3)
     # production row count (R = batch*features >= 2048): lsigf routes to
