@@ -12,6 +12,21 @@ Re-designs of ``alegnn/modules/training.py``:
 
 The train step is a single jitted value_and_grad + optax update; data stays
 in numpy between steps (host) and crosses to device per batch.
+
+Scan dispatch: at reference scale (N ~ 1e2) a train step is microseconds of
+device work behind milliseconds of dispatch + the per-step host sync on
+``float(loss)`` — on a TPU behind a network tunnel that round-trip is ~6 ms
+and dominates training wall-clock. The trainers therefore group the steps
+between two validation points into ONE dispatch: a ``lax.scan`` over the
+stacked batches that carries (params, opt_state) and returns the per-step
+losses, synced to host once per run. Semantics are unchanged — same batch
+order, same RNG key sequence, same validation/checkpoint/early-stop cadence
+(runs never cross a validation point, an epoch boundary, or a batch-size
+change; the uneven last batch runs as its own step) — and the per-batch
+host paths (fixedBatch/replaceTimeBatch DAGger) automatically fall back to
+step-by-step. Disable with ``scanDispatch=False``; an int caps the run
+length; ``scanMemoryBudget`` (bytes, default 1 GiB) caps the stacked batch
+data shipped per dispatch.
 """
 
 from __future__ import annotations
@@ -71,6 +86,11 @@ class Trainer:
         self.metricsFile = kwargs.get("metricsFile")
         self.logger = kwargs.get("logger")  # utils.visual.Visualizer
         self.resume = kwargs.get("resume", False)
+        # True (default) = scan the steps between validation points into
+        # one dispatch; an int caps the run length; False = step-by-step.
+        self.scanDispatch = kwargs.get("scanDispatch", True)
+        self.scanMemoryBudget = kwargs.get("scanMemoryBudget", 1 << 30)
+        self._step_nbytes = {}  # per-batch-size device bytes of one step
         self.rng = np.random.default_rng(kwargs.get("seed", 0))
         self._key = jax.random.PRNGKey(kwargs.get("seed", 0))
         # stochastic forwards (GRNN z0 ~ N(0,1) per call) get a fresh key
@@ -116,14 +136,88 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        self._finalize_step(step)
+
+    def _finalize_step(self, step):
+        """Install the per-step update and its scan-over-steps form. Every
+        ``_build_step`` ends here so optimizer rebuilds refresh both."""
+        self._step_fn = step
         self._step = jax.jit(step)
 
-    def train_batch(self, idx):
+        def scan_fn(params, opt_state, xs, ys, auxs, keys):
+            def body(carry, inp):
+                x, y, aux, key = inp
+                p, o, loss = step(carry[0], carry[1], x, y, aux, key)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (xs, ys, auxs, keys))
+            return params, opt_state, losses
+
+        self._scan = jax.jit(scan_fn)
+
+    def _scan_eligible(self) -> bool:
+        """Whether runs of steps may be scanned into one dispatch (no
+        per-batch host work). Overridden by TrainerFlocking."""
+        return True
+
+    def _step_args(self, idx):
+        """Device-ready (x, y, aux) for one batch — the exact operands
+        ``_step`` receives (shared by the per-step and scanned paths)."""
         x, y, aux = self._train_batch_data(idx)
+        return jnp.asarray(x, jnp.float32), jnp.asarray(y), aux
+
+    def _run_length(self, epoch: int, batch: int, bounds, n_batches: int):
+        """Steps to scan in one dispatch starting at `batch`: capped by the
+        epoch end, a batch-size change (the uneven last batch), the next
+        validation point (inclusive — validation must see the params right
+        after that step), and an int scanDispatch."""
+        if not self.scanDispatch or not self._scan_eligible():
+            return 1
+        L_max = n_batches - batch
+        if self.scanDispatch is not True:  # int cap (True is an int!)
+            L_max = min(L_max, max(1, int(self.scanDispatch)))
+        size0 = bounds[batch + 1] - bounds[batch]
+        L = 1
+        while L < L_max and bounds[batch + L + 1] - bounds[batch + L] == size0:
+            L += 1
+        step0 = epoch * n_batches + batch
+        until_val = (-step0) % self.validationInterval  # 0 = step0 validates
+        return max(1, min(L, until_val + 1))
+
+    def _run_scan(self, epoch, batch, bounds, L, perm):
+        """Execute L consecutive equal-size steps as one scanned dispatch:
+        ONE host gather + device transfer for the whole run, reshaped to a
+        (L, B, ...) leading scan axis. Returns (per-step losses ndarray,
+        per-step wall time)."""
+        B = bounds[batch + 1] - bounds[batch]
+        nb = self._step_nbytes.get(B)
+        if nb is None:
+            a0 = self._step_args(perm[bounds[batch]:bounds[batch + 1]])
+            nb = self._step_nbytes[B] = sum(
+                l.size * l.dtype.itemsize
+                for l in jax.tree_util.tree_leaves(a0))
+        L = max(1, min(L, int(self.scanMemoryBudget // max(1, nb))))
+        keys = jnp.stack([self._next_key() for _ in range(L)])
+        args = self._step_args(perm[bounds[batch]:bounds[batch + L]])
+        xs, ys, auxs = jax.tree_util.tree_map(
+            lambda l: l.reshape((L, B) + l.shape[1:]), args)
+        t0 = _time.perf_counter()
+        params, opt_state, losses = self._scan(
+            self.model.params, self.model.opt_state, xs, ys, auxs, keys)
+        losses = np.asarray(losses)  # ONE host sync for the whole run
+        elapsed = (_time.perf_counter() - t0) / L
+        self.model.params = params
+        self.model.opt_state = opt_state
+        if hasattr(self, "_step_count"):
+            self._step_count += L
+        return losses, elapsed
+
+    def train_batch(self, idx):
+        x, y, aux = self._step_args(idx)
         t0 = _time.perf_counter()
         params, opt_state, loss = self._step(
-            self.model.params, self.model.opt_state,
-            jnp.asarray(x, jnp.float32), jnp.asarray(y), aux,
+            self.model.params, self.model.opt_state, x, y, aux,
             self._next_key())
         loss = float(loss)
         elapsed = _time.perf_counter() - t0
@@ -182,6 +276,36 @@ class Trainer:
                 "loss_train": loss_train, "cost_valid": cost_valid,
             }
 
+        def post_step(epoch, batch, loss, elapsed):
+            """Per-step bookkeeping (identical for the per-step and scanned
+            paths): record, print, log, validate/checkpoint/early-stop."""
+            nonlocal best_score, best_epoch, best_batch, lag
+            loss_train.append(loss)
+            time_train.append(elapsed)
+            step_no = epoch * n_batches + batch
+            if self.doPrint and step_no % self.printInterval == 0:
+                print(f"\t(E: {epoch + 1:2d}, B: {batch + 1:3d}) "
+                      f"loss {loss:7.4f} - {elapsed:.4f}s")
+            if self.logger is not None:
+                self.logger.scalar_summary("Training", step_no,
+                                           lossTrain=loss)
+            if step_no % self.validationInterval == 0:
+                cost = self._valid_cost(model.params)
+                cost_valid.append(cost)
+                if self.metricsFile:
+                    append_jsonl(self.metricsFile, {
+                        "step": step_no, "loss": loss, "valid_cost": cost})
+                if self.logger is not None:
+                    self.logger.scalar_summary("Validation", step_no,
+                                               costValid=cost)
+                if best_score is None or cost < best_score:
+                    best_score = cost
+                    best_epoch, best_batch = epoch, batch
+                    model.save(label="Best")
+                    lag = 0
+                elif self.doEarlyStopping:
+                    lag += 1
+
         while epoch < self.nEpochs and (lag < self.earlyStoppingLag
                                         or not self.doEarlyStopping):
             perm = self.rng.permutation(n_train)
@@ -189,35 +313,19 @@ class Trainer:
             batch = 0
             while batch < n_batches and (lag < self.earlyStoppingLag
                                          or not self.doEarlyStopping):
-                idx = perm[bounds[batch]:bounds[batch + 1]]
-                self._on_batch_start(epoch, batch, idx)
-                loss, elapsed = self.train_batch(idx)
-                loss_train.append(loss)
-                time_train.append(elapsed)
-                step_no = epoch * n_batches + batch
-                if self.doPrint and step_no % self.printInterval == 0:
-                    print(f"\t(E: {epoch + 1:2d}, B: {batch + 1:3d}) "
-                          f"loss {loss:7.4f} - {elapsed:.4f}s")
-                if self.logger is not None:
-                    self.logger.scalar_summary("Training", step_no,
-                                               lossTrain=loss)
-                if step_no % self.validationInterval == 0:
-                    cost = self._valid_cost(model.params)
-                    cost_valid.append(cost)
-                    if self.metricsFile:
-                        append_jsonl(self.metricsFile, {
-                            "step": step_no, "loss": loss, "valid_cost": cost})
-                    if self.logger is not None:
-                        self.logger.scalar_summary("Validation", step_no,
-                                                   costValid=cost)
-                    if best_score is None or cost < best_score:
-                        best_score = cost
-                        best_epoch, best_batch = epoch, batch
-                        model.save(label="Best")
-                        lag = 0
-                    elif self.doEarlyStopping:
-                        lag += 1
-                batch += 1
+                run = self._run_length(epoch, batch, bounds, n_batches)
+                if run > 1:
+                    losses, elapsed = self._run_scan(epoch, batch, bounds,
+                                                     run, perm)
+                    for j, loss in enumerate(losses):
+                        post_step(epoch, batch + j, float(loss), elapsed)
+                    batch += len(losses)
+                else:
+                    idx = perm[bounds[batch]:bounds[batch + 1]]
+                    self._on_batch_start(epoch, batch, idx)
+                    loss, elapsed = self.train_batch(idx)
+                    post_step(epoch, batch, loss, elapsed)
+                    batch += 1
             epoch += 1
             # per-epoch resumable checkpoint (params + opt + loop state)
             model.save(label="Last", extra=_loop_state())
@@ -273,7 +381,7 @@ class TrainerSingleNode(Trainer):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        self._step = jax.jit(step)
+        self._finalize_step(step)
 
     def _node_positions(self, ids):
         order = list(self.model.archit.order)
@@ -381,33 +489,48 @@ class TrainerFlocking(Trainer):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        self._step = jax.jit(step)
+        self._finalize_step(step)
 
-    def train_batch(self, idx):
+    def _scan_eligible(self) -> bool:
+        # fixedBatch rolls out the policy (host) inside every train_batch;
+        # replaceTimeBatch mutates the training set before every batch —
+        # both must stay step-by-step. randomEpoch only acts at epoch start.
+        return (not self.doDAGger) or self.DAGgerType == "randomEpoch"
+
+    def _device_S(self, S):
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        if self._is_ell(S):
+            return ell_lib.EllGso(jnp.asarray(S.idx), jnp.asarray(S.val))
+        S5 = S[:, :, None] if S.ndim == 4 else S
+        if self.ellDegree is not None:
+            return ell_lib.ell_from_dense(S5, d_max=self.ellDegree)
+        return jnp.asarray(S5, jnp.float32)
+
+    def _step_args(self, idx):
         x = self.xAll[idx]
         y = self.yAll[idx]
         S = self._S_index(self.SAll, idx)
+        return (jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+                self._device_S(S))
+
+    def train_batch(self, idx):
         if self.doDAGger and self.DAGgerType == "fixedBatch" \
                 and self._step_count > 0:
+            x = self.xAll[idx]
+            y = self.yAll[idx]
+            S = self._S_index(self.SAll, idx)
             xD, yD, SD = self._fixed_batch_dagger(self.initPosAll[idx],
                                                   self.initVelAll[idx])
-            x = np.concatenate([x, xD], 0)
-            y = np.concatenate([y, yD], 0)
-            S = self._S_concat(S, SD)
-        t0 = _time.perf_counter()
-        from graph_neural_networks_tpu.ops import ell as ell_lib
-        if self._is_ell(S):
-            S5 = ell_lib.EllGso(jnp.asarray(S.idx), jnp.asarray(S.val))
+            t0 = _time.perf_counter()
+            x = jnp.asarray(np.concatenate([x, xD], 0), jnp.float32)
+            y = jnp.asarray(np.concatenate([y, yD], 0), jnp.float32)
+            S5 = self._device_S(self._S_concat(S, SD))
         else:
-            S5 = S[:, :, None] if S.ndim == 4 else S
-            if self.ellDegree is not None:
-                S5 = ell_lib.ell_from_dense(S5, d_max=self.ellDegree)
-            else:
-                S5 = jnp.asarray(S5, jnp.float32)
+            t0 = _time.perf_counter()
+            x, y, S5 = self._step_args(idx)
         params, opt_state, loss = self._step(
-            self.model.params, self.model.opt_state,
-            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
-            S5, self._next_key())
+            self.model.params, self.model.opt_state, x, y, S5,
+            self._next_key())
         self.model.params = params
         self.model.opt_state = opt_state
         self._step_count += 1

@@ -151,6 +151,120 @@ def test_trainer_epidemic_grnn(tmp_path):
     assert 0.0 <= res["costBest"] <= 1.0
 
 
+def _train_twice(make_model, data, tmp_path, **kw):
+    """Train two identically-seeded models with scanDispatch on/off."""
+    out = {}
+    for mode, flag in (("scan", True), ("loop", False)):
+        m = make_model(tmp_path / mode)
+        out[mode] = m.train(data, scanDispatch=flag, **kw)
+    return out["scan"], out["loop"]
+
+
+def test_scan_dispatch_matches_loop(G, tmp_path):
+    """Scanned multi-step dispatch reproduces the step-by-step loss AND
+    validation trajectories exactly (same batches, same RNG key sequence,
+    same validation cadence) — incl. the uneven last batch (50 = 3x16+2)
+    and an LR schedule stepping inside the scanned runs."""
+    S = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
+    srcs = gt.compute_source_nodes(G.A, 3)
+    data = D.SourceLocalization(G, 50, 12, 12, srcs, tMax=3,
+                                rng=np.random.default_rng(11))
+    data.expandDims()
+
+    def make_model(d):
+        arch = archs.SelectionGNN([1, 4], [3], True, "relu", [24], "NoPool",
+                                  [1], [3], S)
+        return T.Model(arch, T.losses.cross_entropy_loss,
+                       {"name": "ADAM", "lr": 5e-3}, T.Trainer, T.evaluate,
+                       name="scan", saveDir=str(d), seed=3)
+
+    scan, loop = _train_twice(make_model, data, tmp_path, nEpochs=5,
+                              batchSize=16, validationInterval=3,
+                              learningRateDecayRate=0.9,
+                              learningRateDecayPeriod=2)
+    assert len(scan["lossTrain"]) == len(loop["lossTrain"]) == 5 * 4
+    np.testing.assert_allclose(scan["lossTrain"], loop["lossTrain"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(scan["costValid"], loop["costValid"],
+                               rtol=1e-5)
+    assert scan["bestEpoch"] == loop["bestEpoch"]
+    assert scan["bestBatch"] == loop["bestBatch"]
+
+
+def test_scan_dispatch_caps(G, tmp_path):
+    """Int scanDispatch caps the run length; a tiny scanMemoryBudget forces
+    run truncation — both still reproduce the step-by-step trajectory."""
+    S = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
+    srcs = gt.compute_source_nodes(G.A, 3)
+    data = D.SourceLocalization(G, 48, 12, 12, srcs, tMax=3,
+                                rng=np.random.default_rng(12))
+    data.expandDims()
+
+    def make_model(d):
+        arch = archs.SelectionGNN([1, 4], [3], True, "relu", [24], "NoPool",
+                                  [1], [3], S)
+        return T.Model(arch, T.losses.cross_entropy_loss,
+                       {"name": "ADAM", "lr": 5e-3}, T.Trainer, T.evaluate,
+                       name="cap", saveDir=str(d), seed=4)
+
+    ref = make_model(tmp_path / "ref").train(
+        data, nEpochs=3, batchSize=12, validationInterval=8,
+        scanDispatch=False)
+    capped = make_model(tmp_path / "cap").train(
+        data, nEpochs=3, batchSize=12, validationInterval=8, scanDispatch=2)
+    tiny = make_model(tmp_path / "tiny").train(
+        data, nEpochs=3, batchSize=12, validationInterval=8,
+        scanMemoryBudget=1)  # every run truncates to a single step
+    np.testing.assert_allclose(capped["lossTrain"], ref["lossTrain"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(tiny["lossTrain"], ref["lossTrain"],
+                               rtol=1e-5)
+
+
+def test_scan_dispatch_single_node(tmp_path):
+    """TrainerSingleNode scans its (x, y, node_pos) steps identically."""
+    data = D.MovieLens("movie", 25, 0.8, 0.1, kNN=8,
+                       rng=np.random.default_rng(13))
+    data.expandDims()
+    W = data.getGraph()
+    S = W / np.max(np.abs(np.linalg.eigvalsh(W)))
+
+    def make_model(d):
+        arch = archs.LocalGNN([1, 8], [4], True, "relu", [S.shape[0]],
+                              "NoPool", [1], [1], S, order="Degree")
+        return T.Model(arch, T.losses.adapt_extra_dimension_loss(
+                           T.losses.smooth_l1_loss),
+                       {"name": "ADAM", "lr": 5e-3}, T.TrainerSingleNode,
+                       T.evaluate_single_node, name="movie", saveDir=str(d),
+                       seed=5)
+
+    scan, loop = _train_twice(make_model, data, tmp_path, nEpochs=4,
+                              batchSize=8, validationInterval=4)
+    np.testing.assert_allclose(scan["lossTrain"], loop["lossTrain"],
+                               rtol=1e-5)
+
+
+def test_scan_dispatch_flocking_random_epoch(tmp_path):
+    """randomEpoch DAGger only mutates data at epoch start, so its steps
+    scan; trajectories must match the step-by-step run (the policy rollouts
+    see identical params at each epoch boundary)."""
+    data = D.Flocking(nAgents=8, commRadius=6.0, repelDist=1.0, nTrain=12,
+                      nValid=4, nTest=4, duration=0.5, samplingTime=0.1,
+                      rng=np.random.default_rng(14))
+
+    def make_model(d):
+        arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+        return T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
+                       T.TrainerFlocking, T.evaluate_flocking, name="flock",
+                       saveDir=str(d), N=8, T=5, seed=6)
+
+    scan, loop = _train_twice(make_model, data, tmp_path, nEpochs=3,
+                              batchSize=6, validationInterval=2,
+                              probExpert=0.993, DAGgerType="randomEpoch")
+    np.testing.assert_allclose(scan["lossTrain"], loop["lossTrain"],
+                               rtol=1e-4)
+
+
 def test_trainer_flocking_dagger(tmp_path):
     data = D.Flocking(nAgents=8, commRadius=6.0, repelDist=1.0, nTrain=12,
                       nValid=4, nTest=4, duration=0.5, samplingTime=0.1,
