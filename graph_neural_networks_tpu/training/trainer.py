@@ -91,6 +91,15 @@ class Trainer:
         self.scanDispatch = kwargs.get("scanDispatch", True)
         self.scanMemoryBudget = kwargs.get("scanMemoryBudget", 1 << 30)
         self._step_nbytes = {}  # per-batch-size device bytes of one step
+        # mesh=jax.sharding.Mesh -> data-parallel training: batch args
+        # sharded over `meshAxis`, params/opt replicated; GSPMD inserts
+        # the gradient all-reduce. Identical math to single-device (the
+        # batch-mean loss just reduces across shards), so trajectories
+        # match. Batches not divisible by the axis size run replicated.
+        self.mesh = kwargs.get("mesh")
+        self.meshAxis = kwargs.get("meshAxis",
+                                   self.mesh.axis_names[0]
+                                   if self.mesh is not None else None)
         self.rng = np.random.default_rng(kwargs.get("seed", 0))
         self._key = jax.random.PRNGKey(kwargs.get("seed", 0))
         # stochastic forwards (GRNN z0 ~ N(0,1) per call) get a fresh key
@@ -161,6 +170,35 @@ class Trainer:
         per-batch host work). Overridden by TrainerFlocking."""
         return True
 
+    def _shard_batch(self, args, batch_axis: int):
+        """Data-parallel placement: shard every batched leaf of (x, y,
+        aux) over the mesh's data axis (GSPMD partitions the whole step
+        from the argument shardings). Falls back to replicated when the
+        batch doesn't divide the axis (e.g. the uneven last batch)."""
+        if self.mesh is None:
+            return args
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_shards = self.mesh.shape[self.meshAxis]
+
+        def put(a):
+            if a.ndim <= batch_axis or a.shape[batch_axis] % n_shards:
+                return jax.device_put(
+                    a, NamedSharding(self.mesh, PartitionSpec()))
+            spec = [None] * a.ndim
+            spec[batch_axis] = self.meshAxis
+            return jax.device_put(
+                a, NamedSharding(self.mesh, PartitionSpec(*spec)))
+
+        return jax.tree_util.tree_map(put, args)
+
+    def _replicate_state(self):
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec
+        repl = NamedSharding(self.mesh, PartitionSpec())
+        self.model.params = jax.device_put(self.model.params, repl)
+        self.model.opt_state = jax.device_put(self.model.opt_state, repl)
+
     def _step_args(self, idx):
         """Device-ready (x, y, aux) for one batch — the exact operands
         ``_step`` receives (shared by the per-step and scanned paths)."""
@@ -200,8 +238,10 @@ class Trainer:
         L = max(1, min(L, int(self.scanMemoryBudget // max(1, nb))))
         keys = jnp.stack([self._next_key() for _ in range(L)])
         args = self._step_args(perm[bounds[batch]:bounds[batch + L]])
-        xs, ys, auxs = jax.tree_util.tree_map(
-            lambda l: l.reshape((L, B) + l.shape[1:]), args)
+        xs, ys, auxs = self._shard_batch(
+            jax.tree_util.tree_map(
+                lambda l: l.reshape((L, B) + l.shape[1:]), args),
+            batch_axis=1)
         t0 = _time.perf_counter()
         params, opt_state, losses = self._scan(
             self.model.params, self.model.opt_state, xs, ys, auxs, keys)
@@ -214,7 +254,7 @@ class Trainer:
         return losses, elapsed
 
     def train_batch(self, idx):
-        x, y, aux = self._step_args(idx)
+        x, y, aux = self._shard_batch(self._step_args(idx), batch_axis=0)
         t0 = _time.perf_counter()
         params, opt_state, loss = self._step(
             self.model.params, self.model.opt_state, x, y, aux,
@@ -245,6 +285,7 @@ class Trainer:
             model.rebuild_optimizer(schedule)
             self._build_step()
 
+        self._replicate_state()
         loss_train, cost_valid, time_train = [], [], []
         best_score = None
         best_epoch = best_batch = 0
@@ -528,6 +569,7 @@ class TrainerFlocking(Trainer):
         else:
             t0 = _time.perf_counter()
             x, y, S5 = self._step_args(idx)
+        x, y, S5 = self._shard_batch((x, y, S5), batch_axis=0)
         params, opt_state, loss = self._step(
             self.model.params, self.model.opt_state, x, y, S5,
             self._next_key())

@@ -265,6 +265,41 @@ def test_scan_dispatch_flocking_random_epoch(tmp_path):
                                rtol=1e-4)
 
 
+def test_mesh_data_parallel_trainer(G, tmp_path):
+    """Trainer(mesh=...) data-parallel training on the 8-device virtual
+    mesh reproduces single-device trajectories (replicated params,
+    batch sharded on 'data', GSPMD gradient all-reduce), composed with
+    scan dispatch; the uneven last batch (52 = 3x16+4, 4 % 8 != 0)
+    falls back to replicated."""
+    import jax
+    from jax.sharding import Mesh
+    S = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
+    srcs = gt.compute_source_nodes(G.A, 3)
+    data = D.SourceLocalization(G, 52, 12, 12, srcs, tMax=3,
+                                rng=np.random.default_rng(15))
+    data.expandDims()
+
+    def make_model(d):
+        arch = archs.SelectionGNN([1, 4], [3], True, "relu", [24], "NoPool",
+                                  [1], [3], S)
+        return T.Model(arch, T.losses.cross_entropy_loss,
+                       {"name": "ADAM", "lr": 5e-3}, T.Trainer, T.evaluate,
+                       name="dp", saveDir=str(d), seed=7)
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    ref = make_model(tmp_path / "single").train(
+        data, nEpochs=4, batchSize=16, validationInterval=3)
+    dp = make_model(tmp_path / "mesh").train(
+        data, nEpochs=4, batchSize=16, validationInterval=3, mesh=mesh)
+    np.testing.assert_allclose(dp["lossTrain"], ref["lossTrain"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(dp["costValid"], ref["costValid"],
+                               rtol=1e-4)
+
+
 def test_trainer_flocking_dagger(tmp_path):
     data = D.Flocking(nAgents=8, commRadius=6.0, repelDist=1.0, nTrain=12,
                       nValid=4, nTest=4, duration=0.5, samplingTime=0.1,
