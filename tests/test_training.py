@@ -300,6 +300,55 @@ def test_mesh_data_parallel_trainer(G, tmp_path):
                                rtol=1e-4)
 
 
+def test_mesh_hybrid_graph_sharded_trainer(tmp_path):
+    """Hybrid dp x graph parallelism through the HARNESS: a node-sharded
+    SelectionGNN (arch.shard over the 'graph' axis, ring halo SpMM)
+    trained by Trainer(mesh=...) with the batch on 'data' — trajectory
+    matches the dense single-device run."""
+    import jax
+    from graph_neural_networks_tpu import parallel as par
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    # banded graph so the ring path engages under the partition
+    N = 32
+    rng = np.random.default_rng(16)
+    W = np.zeros((N, N))
+    for i in range(N - 1):
+        W[i, i + 1] = W[i + 1, i] = 1.0
+    for i in range(N - 2):
+        W[i, i + 2] = W[i + 2, i] = 0.5
+    S = W / np.max(np.abs(np.linalg.eigvalsh(W)))
+    G2 = gt.Graph("adjacency", N, {"adjacencyMatrix": W})
+    srcs = [0, N // 2]
+    data = D.SourceLocalization(G2, 48, 16, 16, srcs, tMax=4,
+                                rng=np.random.default_rng(17))
+    data.expandDims()
+
+    def make_model(d, sharded):
+        arch = archs.SelectionGNN([1, 4], [3], True, "relu", [N], "NoPool",
+                                  [1], [2], S)
+        mesh = None
+        if sharded:
+            mesh = par.make_mesh((2, 4))
+            arch.shard(mesh, 4, data_axis="data")
+            assert arch.ctx["S"].uses_ring
+        m = T.Model(arch, T.losses.cross_entropy_loss,
+                    {"name": "ADAM", "lr": 5e-3}, T.Trainer, T.evaluate,
+                    name="hybrid", saveDir=str(d), seed=8)
+        return m, mesh
+
+    m_ref, _ = make_model(tmp_path / "dense", sharded=False)
+    ref = m_ref.train(data, nEpochs=3, batchSize=16, validationInterval=2)
+    m_sh, mesh = make_model(tmp_path / "sharded", sharded=True)
+    sh = m_sh.train(data, nEpochs=3, batchSize=16, validationInterval=2,
+                    mesh=mesh, meshAxis="data")
+    np.testing.assert_allclose(sh["lossTrain"], ref["lossTrain"],
+                               rtol=2e-4)
+    np.testing.assert_allclose(sh["costValid"], ref["costValid"],
+                               atol=1e-6)
+
+
 def test_trainer_flocking_dagger(tmp_path):
     data = D.Flocking(nAgents=8, commRadius=6.0, repelDist=1.0, nTrain=12,
                       nValid=4, nTest=4, duration=0.5, samplingTime=0.1,
