@@ -26,8 +26,9 @@ from graph_neural_networks_tpu.models import architectures_time as archt
 from graph_neural_networks_tpu.ops import ell as ell_lib
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OUT = os.path.join(HERE, "large_swarm_tpu2.json")
-out_f = open(OUT, "w", buffering=1)
+OUT = os.path.join(HERE,
+                   os.environ.get("LSWARM_OUT", "large_swarm_tpu2.json"))
+out_f = open(OUT, os.environ.get("LSWARM_MODE", "w"), buffering=1)
 
 
 def emit(**kw):
@@ -48,9 +49,16 @@ def main():
 
     dt = 0.01
     DEG = 32
-    for (N, B, T, chunk) in [(16384, 1, 100, 4096),
-                             (65536, 1, 50, 4096),
-                             (262144, 1, 20, 2048)]:
+    # seg: host-segmented rollout bounds single-program device time —
+    # the monolithic T=50 scan at N=65536 trips the runtime's execution
+    # limit (UNAVAILABLE device error; see TODO.md round-2 log)
+    import ast
+    cases = os.environ.get("LSWARM_CASES")
+    cases = (ast.literal_eval(cases) if cases else
+             [(16384, 1, 100, 4096, None),
+              (65536, 1, 50, 4096, 5),
+              (262144, 1, 5, 2048, 1)])
+    for (N, B, T, chunk, seg) in cases:
         try:
             env = Flocking.for_rollout(N, commRadius=2.0, repelDist=1.0,
                                        samplingTime=dt,
@@ -58,25 +66,30 @@ def main():
             ip, iv = env.compute_initial_positions(
                 N, B, env.commRadius, minDist=env.initMinDist,
                 geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
-            roll = env._scan_rollout(T, w, policy, ell_degree=DEG,
-                                     lam_method="power", env_chunk=chunk,
-                                     lam_iters=8)
+            if seg is None:
+                roll = env._scan_rollout(T, w, policy, ell_degree=DEG,
+                                         lam_method="power",
+                                         env_chunk=chunk, lam_iters=8)
+            else:
+                roll = env._scan_rollout_segmented(
+                    T, w, policy, ell_degree=DEG, env_chunk=chunk,
+                    lam_iters=8, seg=seg)
             ipj = jnp.asarray(ip, jnp.float32)
             ivj = jnp.asarray(iv, jnp.float32)
             t0 = time.perf_counter()
             out = roll(params, ipj, ivj)
-            jax.block_until_ready(out)
+            jax.block_until_ready(out[:2])
             t_compile = time.perf_counter() - t0
             best = float("inf")
-            for _ in range(2):
+            for _ in range(1 if seg else 2):
                 t0 = time.perf_counter()
                 out = roll(params, ipj, ivj)
-                jax.block_until_ready(out)
+                jax.block_until_ready(out[:2])
                 best = min(best, time.perf_counter() - t0)
             pos, vel, accel, states, graphs = out
             vel_np = np.asarray(vel, np.float64)
             cost = float(env.evaluate(vel=vel_np))
-            emit(N=N, B=B, T=T, deg=DEG, env_chunk=chunk,
+            emit(N=N, B=B, T=T, deg=DEG, env_chunk=chunk, seg=seg,
                  t_rollout_s=best, t_compile_s=t_compile,
                  ms_per_env_step=best / T * 1e3,
                  agent_steps_per_s=B * N * T / best,

@@ -85,10 +85,15 @@ def main():
         guard("rollout_T5", lambda: roll(params, pos, vel))
 
     # 3. LAST: the suspected faulter — bare single-stage top_k at
-    # (1, 4096, 65536). May wedge the chip; everything above already ran.
-    x = jnp.asarray(rng.random((1, 4096, N)), jnp.float32)
-    guard("topk_single_4096x65536",
-          lambda: jax.jit(lambda a: jax.lax.top_k(a, 32))(x))
+    # (1, 4096, 65536). May wedge the chip for hours; gated behind an
+    # env var so routine reruns don't risk losing the device.
+    if os.environ.get("PROBE_RUN_FAULTER") == "1":
+        x = jnp.asarray(rng.random((1, 4096, N)), jnp.float32)
+        guard("topk_single_4096x65536",
+              lambda: jax.jit(lambda a: jax.lax.top_k(a, 32))(x))
+    else:
+        emit(tag="topk_single_4096x65536", skipped=True,
+             note="set PROBE_RUN_FAULTER=1 to run the suspected faulter")
 
     emit(done=True)
 

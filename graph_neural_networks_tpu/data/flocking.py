@@ -641,38 +641,19 @@ class Flocking(Data):
         if env_chunk is not None:
             assert ell_degree is not None, \
                 "env_chunk requires ell_degree (the O(N*deg) graph layout)"
+            init_fn, step_fn = self._chunked_pieces(
+                w, policy, ell_degree, env_chunk, lam_iters)
 
             def rollout_chunked(params, init_pos, init_vel):
-                B, _, N = init_pos.shape
-                D = min(ell_degree, N)
-                chunk = _fit_chunk(N, env_chunk)
-                v0 = jnp.ones((B, N), init_pos.dtype) / jnp.sqrt(N)
-                i0, s0, x0, v0 = _jnp_env_step_chunked(
-                    init_pos, init_vel, r, D, chunk, v0,
-                    lam_iters=max(lam_iters, 32))   # cold start: converge
-                xw = jnp.zeros((B, w, 6, N),
-                               init_pos.dtype).at[:, -1].set(x0)
-                iw = jnp.zeros((B, w, N, D), jnp.int32).at[:, -1].set(i0)
-                vw = jnp.zeros((B, w, 1, N, D),
-                               init_pos.dtype).at[:, -1].set(s0[:, None])
+                carry, _ = init_fn(init_pos, init_vel)
+                init_pos, init_vel, xw, iw, vw, v0 = carry
+                x0 = xw[:, -1]
+                i0 = iw[:, -1]
+                s0 = vw[:, -1, 0]
 
                 def step(carry, _):
-                    pos_t, vel_t, xw, iw, vw, v = carry
-                    y = policy(params, xw, ell_lib.EllGso(iw, vw))
-                    a = jnp.clip(y[:, -1], -a_max, a_max)
-                    vel_n = a * dt + vel_t
-                    pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
-                    i_n, s_n, x_n, v = _jnp_env_step_chunked(
-                        pos_n, vel_n, r, D, chunk, v,
-                        lam_iters=lam_iters)
-                    xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
-                    iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)
-                    vw = jnp.concatenate(
-                        [vw[:, 1:], s_n[:, None, None]], axis=1)
-                    return ((pos_n, vel_n, xw, iw, vw, v),
-                            (pos_n, vel_n, a, x_n, (i_n, s_n)))
+                    return step_fn(params, carry)
 
-                carry = (init_pos, init_vel, xw, iw, vw, v0)
                 _, (pos, vel, acc, xs, Ss) = jax.lax.scan(
                     step, carry, None, length=T - 1)
                 swap = lambda z: jnp.moveaxis(z, 0, 1)
@@ -755,11 +736,115 @@ class Flocking(Data):
         cache[key] = jax.jit(rollout)
         return cache[key]
 
+    def _chunked_pieces(self, w, policy, ell_degree, env_chunk, lam_iters):
+        """init/step closures shared by the monolithic and segmented
+        chunked rollouts. carry = (pos, vel, x-window, ell-idx-window,
+        ell-val-window, lambda_max eigenvector)."""
+        import jax.numpy as jnp
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        dt = self.samplingTime
+        r = self.commRadius
+        a_max = self.accelMax
+
+        def init_fn(init_pos, init_vel):
+            B, _, N = init_pos.shape
+            D = min(ell_degree, N)
+            chunk = _fit_chunk(N, env_chunk)
+            v0 = jnp.ones((B, N), init_pos.dtype) / jnp.sqrt(N)
+            i0, s0, x0, v0 = _jnp_env_step_chunked(
+                init_pos, init_vel, r, D, chunk, v0,
+                lam_iters=max(lam_iters, 32))   # cold start: converge
+            xw = jnp.zeros((B, w, 6, N),
+                           init_pos.dtype).at[:, -1].set(x0)
+            iw = jnp.zeros((B, w, N, D), jnp.int32).at[:, -1].set(i0)
+            vw = jnp.zeros((B, w, 1, N, D),
+                           init_pos.dtype).at[:, -1].set(s0[:, None])
+            return (init_pos, init_vel, xw, iw, vw, v0), (x0, i0, s0)
+
+        def step_fn(params, carry):
+            pos_t, vel_t, xw, iw, vw, v = carry
+            B, _, N = pos_t.shape
+            D = min(ell_degree, N)
+            chunk = _fit_chunk(N, env_chunk)
+            y = policy(params, xw, ell_lib.EllGso(iw, vw))
+            a = jnp.clip(y[:, -1], -a_max, a_max)
+            vel_n = a * dt + vel_t
+            pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
+            i_n, s_n, x_n, v = _jnp_env_step_chunked(
+                pos_n, vel_n, r, D, chunk, v, lam_iters=lam_iters)
+            xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
+            iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)
+            vw = jnp.concatenate([vw[:, 1:], s_n[:, None, None]], axis=1)
+            return ((pos_n, vel_n, xw, iw, vw, v),
+                    (pos_n, vel_n, a, x_n, (i_n, s_n)))
+
+        return init_fn, step_fn
+
+    def _scan_rollout_segmented(self, T, w, policy, ell_degree, env_chunk,
+                                lam_iters: int = 8, seg: int = 8):
+        """Host-segmented chunked rollout for very large swarms: the
+        T-step closed loop runs as ceil((T-1)/seg) device programs of at
+        most `seg` scan steps each, with the carry kept on device and
+        per-segment trajectory slices pulled to host between calls.
+
+        Identical math (same init/step closures) to the monolithic
+        ``_scan_rollout(env_chunk=...)`` program, but (a) bounds
+        single-program device execution time — at N>=65536 a monolithic
+        T=50 scan exceeds the runtime's execution limit and faults the
+        device (TODO.md round-2 log) — and (b) caps device-resident
+        trajectory memory at O(seg·N·deg) instead of O(T·N·deg).
+        Returns numpy (pos, vel, accel, states, EllGso graphs) in the
+        same layout as the monolithic rollout."""
+        import jax
+        import jax.numpy as jnp
+        from graph_neural_networks_tpu.ops import ell as ell_lib
+        init_fn, step_fn = self._chunked_pieces(
+            w, policy, ell_degree, env_chunk, lam_iters)
+        init_jit = jax.jit(init_fn)
+        seg_cache = {}
+
+        def seg_prog(n):
+            if n not in seg_cache:
+                def run_seg(params, carry):
+                    def body(c, _):
+                        return step_fn(params, c)
+                    return jax.lax.scan(body, carry, None, length=n)
+                seg_cache[n] = jax.jit(run_seg)
+            return seg_cache[n]
+
+        def run(params, init_pos, init_vel):
+            carry, (x0, i0, s0) = init_jit(init_pos, init_vel)
+            host = lambda z: np.asarray(jax.device_get(z))
+            pos_l, vel_l, acc_l, xs_l, gi_l, gv_l = ([] for _ in range(6))
+            left = T - 1
+            while left > 0:
+                n = min(seg, left)
+                carry, (p, v_, a, xs, Ss) = seg_prog(n)(params, carry)
+                pos_l.append(host(p)); vel_l.append(host(v_))
+                acc_l.append(host(a)); xs_l.append(host(xs))
+                gi_l.append(host(Ss[0])); gv_l.append(host(Ss[1]))
+                left -= n
+            swap = lambda chunks: np.moveaxis(np.concatenate(chunks, 0), 0, 1)
+            init_pos = host(init_pos); init_vel = host(init_vel)
+            x0, i0, s0 = host(x0), host(i0), host(s0)
+            pos = np.concatenate([init_pos[:, None], swap(pos_l)], axis=1)
+            vel = np.concatenate([init_vel[:, None], swap(vel_l)], axis=1)
+            acc = swap(acc_l)
+            accel = np.concatenate(
+                [acc, np.zeros_like(acc[:, :1])], axis=1)
+            states = np.concatenate([x0[:, None], swap(xs_l)], axis=1)
+            gi = np.concatenate([i0[:, None], swap(gi_l)], axis=1)
+            gv = np.concatenate([s0[:, None], swap(gv_l)], axis=1)
+            graphs = ell_lib.EllGso(gi, gv[:, :, None])
+            return pos, vel, accel, states, graphs
+
+        return run
+
     def compute_trajectory(self, initPos, initVel, duration, archit=None,
                            accel=None, params=None, rng=None, doPrint=None,
                            history_window=None, jit=True, ell_degree=None,
                            lam_method: str = "eig", env_chunk=None,
-                           lam_iters: int = 8):
+                           lam_iters: int = 8, seg=None):
         """Roll the swarm forward. Either apply a given open-loop `accel`
         sequence, or run `archit` (params, x_hist, S_hist) -> accel closed
         loop: at each step the model sees the (zero-padded) history and its
@@ -799,6 +884,15 @@ class Flocking(Data):
             # pass params=None and fall through to the host loop below)
             import jax
             import jax.numpy as jnp
+            if seg is not None and env_chunk is not None:
+                # host-segmented: bounds single-program device time for
+                # very large swarms (see _scan_rollout_segmented)
+                roll = self._scan_rollout_segmented(
+                    T, int(history_window), archit,
+                    ell_degree=ell_degree, env_chunk=env_chunk,
+                    lam_iters=lam_iters, seg=int(seg))
+                return roll(params, jnp.asarray(initPos, jnp.float32),
+                            jnp.asarray(initVel, jnp.float32))
             roll = self._scan_rollout(T, int(history_window), archit,
                                       ell_degree=ell_degree,
                                       lam_method=lam_method,

@@ -432,6 +432,34 @@ def test_flocking_env_chunked_parity(flock):
     assert isinstance(graphs_c, ell_lib.EllGso)
 
 
+def test_flocking_segmented_rollout_matches_monolithic(flock):
+    """Host-segmented chunked rollout (seg=) is bit-identical math to the
+    single-program chunked scan: same init/step closures, only the
+    program boundaries differ. seg=3 over T-1=7 steps exercises the
+    remainder segment."""
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=10, T=2)
+    policy = lambda p, xw, Sw: arch.apply(
+        p, jnp.asarray(xw, jnp.float32), Sw)
+    ip = flock.getData("initPos", "test")
+    iv = flock.getData("initVel", "test")
+    w = arch.causal_window
+    kw = dict(archit=policy, params=params, history_window=w,
+              ell_degree=10, env_chunk=5, lam_iters=64)
+    out_m = flock.compute_trajectory(ip, iv, 0.8, **kw)
+    out_s = flock.compute_trajectory(ip, iv, 0.8, seg=3, **kw)
+    for a, b, name in zip(out_m[:4], out_s[:4],
+                          ["pos", "vel", "accel", "states"]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+    assert isinstance(out_s[4], ell_lib.EllGso)
+    np.testing.assert_array_equal(np.asarray(out_s[4].idx),
+                                  np.asarray(out_m[4].idx))
+    np.testing.assert_allclose(np.asarray(out_s[4].val),
+                               np.asarray(out_m[4].val),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_trainer_flocking_ell(flock, tmp_path):
     """TrainerFlocking with ellDegree: train step runs on the ELL layout."""
     from graph_neural_networks_tpu import training as T
