@@ -164,13 +164,40 @@ def _topk_blocked(scores, k: int, block: int):
 
 
 def _env_topk(mf, d_max: int, block: int = 2048):
-    """top_k used by the env steps: single-stage for ordinary N, blocked
-    two-stage at huge lane counts."""
-    import jax
+    """First-``d_max`` set bits per row of a BINARY mask, as ``(val,
+    idx)`` with the exact ``lax.top_k`` contract on {0,1} inputs: values
+    are the mask entries, indices ascending (top_k's tie-break), rows
+    with fewer than ``d_max`` set bits padded with ``val=0``.
+
+    NOT a general top-k — the env steps only ever rank binary adjacency
+    masks, and ``lax.top_k``'s sort is pathological on TPU when fused
+    with the mask producers (~250 ms vs ~60 ms for the whole N=16384
+    env map body, experiments/probe_env_fusion.json; an
+    optimization_barrier does not help). This computes the same answer
+    as a rank compare: ``idx_d = min{ j : mask_j and cumsum(mask)_j ==
+    d+1 }``, one vectorized min-reduce, no sort. Ranks are clipped to
+    ``d_max+1`` and held in int8 when possible to cut the D-pass memory
+    traffic. Parity with ``lax.top_k`` on binary masks is tested
+    (tests/test_ell.py) and was verified on chip
+    (probe_env_internals.json: parity_minreduce_vs_topk ok).
+
+    Rows where ``val == 0`` carry ``idx = 0`` (top_k would point at the
+    first zero entry instead); every consumer gates by ``val``.
+    """
+    import jax.numpy as jnp
     N = mf.shape[-1]
-    if N > 16384 and N % block == 0 and d_max <= block:
-        return _topk_blocked(mf, d_max, block)
-    return jax.lax.top_k(mf, d_max)
+    m = mf > 0
+    rdt = jnp.int8 if d_max < 127 else jnp.int32
+    r = jnp.minimum(jnp.cumsum(m.astype(jnp.int32), axis=-1),
+                    d_max + 1).astype(rdt)
+    tgt = jnp.arange(1, d_max + 1, dtype=rdt)
+    cols = jnp.arange(N, dtype=jnp.int32)
+    cand = jnp.where(m[..., None] & (r[..., None] == tgt),
+                     cols[..., :, None], jnp.int32(N))
+    idx = jnp.min(cand, axis=-2)                    # (..., d_max)
+    valid = idx < N
+    idx = jnp.where(valid, idx, 0)
+    return valid.astype(mf.dtype), idx
 
 
 def _fit_chunk(n: int, chunk: int) -> int:

@@ -391,6 +391,23 @@ def test_topk_blocked_exact_on_binary_scores():
     np.testing.assert_array_equal(densify(v2, i2), densify(v1, i1))
 
 
+def test_env_topk_matches_lax_topk_on_binary_masks():
+    """The rank-compare first-k extractor (_env_topk) is bit-identical
+    to lax.top_k on binary masks wherever val > 0, across densities
+    (incl. rows with 0 set bits and rows with > d_max set bits)."""
+    from graph_neural_networks_tpu.data.flocking import _env_topk
+    rng = np.random.default_rng(7)
+    for dens in (0.0, 0.02, 0.1, 0.6, 1.0):
+        B, N, D = 2, 97, 8
+        mf = (rng.random((B, N)) < dens).astype(np.float32)
+        v1, i1 = jax.lax.top_k(jnp.asarray(mf), D)
+        v2, i2 = _env_topk(jnp.asarray(mf), D)
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
+        np.testing.assert_array_equal(
+            np.where(np.asarray(v1) > 0, np.asarray(i1), -1),
+            np.where(np.asarray(v2) > 0, np.asarray(i2), -1))
+
+
 def test_flocking_env_chunked_parity(flock):
     """The O(N·deg)-memory chunked env step (env_chunk): one step matches
     the dense env exactly (graph + states + lambda), and the full
