@@ -328,24 +328,42 @@ def db_graph_shift(xe: jnp.ndarray, S) -> jnp.ndarray:
 def _lsigf_db_ell_rows(h, S, x, b=None):
     """ELL lsigf_db in the node-major layout: x (B,T,G,N) -> y (B,T,N,F).
 
-    The whole K-tap register stays node-major (ops.ell.ell_shift_rows —
-    the TPU-fast gather layout); the final tap contraction is one
-    (B·T·N, K·E·G)x(K·E·G, F) matmul. Callers that want the standard
-    (B,T,F,N) swap the last two axes once at the boundary.
+    Formulated as a ``lax.scan`` over T carrying the K-1 deep delayed
+    register z_k(t) = S(t)·z_{k-1}(t-1) node-major: each step does ONE
+    ``ell_shift_rows`` of row width E·(K-1)·G instead of the K-1
+    separate width-E·G shifts of the tap-loop formulation. The TPU
+    gather is row-LATENCY bound and flat in row width
+    (experiments/probe_pallas_gather.json: ~5-7 ns/row, and a Pallas
+    kernel cannot beat it — see the probe), so gathering (K-1)x wider
+    rows (K-1)x less often is a direct (K-1)x win. The tap contraction
+    is one (B·N, K·E·G)x(K·E·G, F) matmul per step.
     """
     F, E, K, G = h.shape
     B, T, _, N = x.shape
-    xe = jnp.broadcast_to(jnp.swapaxes(x, -1, -2)[..., None, :],
-                          (B, T, N, E, G))
-    zs = [xe]
-    for _ in range(1, K):
-        # shift down the time axis (zero-pad t=0), then shift on the graph
-        xe = jnp.concatenate(
-            [jnp.zeros_like(xe[:, :1]), xe[:, :-1]], axis=1)
-        xe = S.db_shift_rows(xe)
-        zs.append(xe)
-    z = jnp.stack(zs, axis=3)                         # B x T x N x K x E x G
-    y = jnp.einsum("btnkeg,fekg->btnf", z, h)
+    xr = jnp.swapaxes(x, -1, -2)                       # B x T x N x G
+
+    if K == 1:
+        stack = jnp.broadcast_to(xr[:, :, :, None, None, :],
+                                 (B, T, N, 1, E, G))
+        y = jnp.einsum("btnkeg,fekg->btnf", stack, h)
+        return y if b is None else y + jnp.reshape(b, (-1,))
+
+    def step(reg, inp):
+        # reg: (B, N, E, (K-1), G) holds z_{0..K-2}(t-1)
+        x_t, S_t = inp                                 # (B,N,G), ell (B,)
+        r = reg.reshape(B, N, E, (K - 1) * G)
+        shifted = S_t.db_shift_rows(r)                 # z_{1..K-1}(t)
+        shifted = shifted.reshape(B, N, E, K - 1, G)
+        x0 = jnp.broadcast_to(x_t[:, :, None, None], (B, N, E, 1, G))
+        stack = jnp.concatenate([x0, shifted], axis=-2)  # (B,N,E,K,G)
+        y_t = jnp.einsum("bnekg,fekg->bnf", stack, h)
+        return stack[..., : K - 1, :], y_t
+
+    reg0 = jnp.zeros((B, N, E, K - 1, G), x.dtype)
+    xs = (jnp.moveaxis(xr, 1, 0),
+          jax.tree_util.tree_map(lambda s: jnp.moveaxis(s, 1, 0), S))
+    _, ys = jax.lax.scan(step, reg0, xs)               # (T, B, N, F)
+    y = jnp.moveaxis(ys, 0, 1)
     return y if b is None else y + jnp.reshape(b, (-1,))
 
 
