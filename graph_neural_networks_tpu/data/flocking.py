@@ -145,6 +145,184 @@ def _jnp_env_step_chunked(pos, vel, comm_radius, d_max, chunk,
     return idx, val / lam[:, None, None], states, v
 
 
+def _ell_power_lambda(idx, val, v_prev, lam_iters: int):
+    """Warm-started power iteration for lambda_max on an ELL graph
+    ((B,N,D) idx/val); returns (lam (B,), v (B,N))."""
+    import jax
+    import jax.numpy as jnp
+    from graph_neural_networks_tpu.ops import ell as ell_lib
+    ell = ell_lib.EllGso(idx, val[:, None])
+
+    def mv(v):
+        return ell_lib.ell_shift(v[:, None, None, :], ell)[:, 0, 0]
+
+    def body(_, v):
+        w = mv(v)
+        return w / jnp.maximum(
+            jnp.linalg.norm(w, axis=-1, keepdims=True), ZERO_TOL)
+
+    v = jax.lax.fori_loop(0, lam_iters, body, v_prev)
+    lam = jnp.einsum("bn,bn->b", v, mv(v))
+    lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
+    return lam, v
+
+
+def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
+                       lam_iters: int = 8, table_size=None,
+                       cell_cap: int = 16):
+    """One O(N·k) cell-list environment step — the TPU-native spatial
+    hash grid replacing the O(N²) all-pairs step for very large swarms.
+
+    Agents are binned into square cells of side ``comm_radius`` on a
+    MODULAR (toroidal) grid of Gx x Gy = ``table_size`` cells (slot =
+    (cx mod Gx) + Gx·(cy mod Gy)); every agent's neighbors live in its
+    3x3 cell neighborhood. The cell table is stored as ONE ROW PER CELL
+    holding its (up to ``cell_cap``) members' features, so the
+    candidate fetch is 9 WIDE row gathers per agent — the TPU gather is
+    row-latency bound and flat in row width (probe_pallas_gather.json),
+    so this costs 9N gathers instead of the all-pairs N² distance work.
+    All shapes static; host cost per step: one N-key sort + one row
+    scatter + 9N row gathers + O(N·9·cell_cap) vector work. The modular
+    map (vs a hash) means two distinct occupied cells only share a slot
+    when they are exactly Gx (or Gy) cells apart — impossible while the
+    swarm's extent is below Gx·comm_radius, so slot occupancy equals
+    true cell occupancy (measured max 6-7 agents/cell at flocking
+    densities; a random hash pooled up to 4-5 cells per slot).
+
+    Exactness: identical neighbor SETS and states as the all-pairs step
+    whenever (a) no slot overflows ``cell_cap`` (the returned ``ok``
+    flag is False if one did — aliased far cells merely pool capacity
+    and add distance-filtered candidates; they never create false
+    neighbors), and (b) d_max >= true max in-degree. Neighbor order
+    within a row follows the candidate window, not ascending index —
+    ELL consumers sum over the row, so only float association differs.
+    lambda_max by the same warm-started power iteration as the chunked
+    step.
+
+    pos/vel: (B,2,N); v_prev: (B,N). Returns (idx (B,N,D) int32,
+    val_norm (B,N,D), states (B,6,N), v (B,N), ok ()).
+    Replaces: reference computeCommunicationGraph + computeStates
+    (dataTools.py:2816, 2612) at O(N·k).
+    """
+    import jax
+    import jax.numpy as jnp
+    B, _, N = pos.shape
+    H = int(table_size) if table_size is not None else \
+        max(1 << (N - 1).bit_length(), 1024)      # ~N slots, power of 2
+    assert H & (H - 1) == 0, "table_size must be a power of two"
+    k2 = H.bit_length() - 1
+    Gx = 1 << ((k2 + 1) // 2)
+    Gy = H // Gx
+    C = int(cell_cap)
+    M = 9 * C
+    r2 = comm_radius ** 2
+    inv_r = 1.0 / comm_radius
+
+    def hash2(cx, cy):
+        # modular toroidal grid: exact (collision-free) while the swarm
+        # extent stays under Gx*comm_radius x Gy*comm_radius
+        gi = jnp.remainder(cx, Gx)
+        gj = jnp.remainder(cy, Gy)
+        return (gi + Gx * gj).astype(jnp.int32)
+
+    chunk = _fit_chunk(N, 8192)   # agent-chunked window math: all big
+    # intermediates are (chunk, M)-shaped — minor dim M=9C, so the
+    # (8,128) tiling pads ~1.8x instead of the ~14x a (N,9,C,6) layout
+    # costs (a full-N layout at 262k OOM'd the chip purely on padding)
+
+    def one(pos_b, vel_b, v0_b):
+        px, py = pos_b[0], pos_b[1]
+        vx, vy = vel_b[0], vel_b[1]
+        cx = jnp.floor(px * inv_r).astype(jnp.int32)
+        cy = jnp.floor(py * inv_r).astype(jnp.int32)
+        h = hash2(cx, cy)
+        iota = jnp.arange(N, dtype=jnp.int32)
+        hs, order = jax.lax.sort_key_val(h, iota)
+        # rank of each agent within its (sorted) equal-hash run
+        flag = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32),
+             (hs[1:] != hs[:-1]).astype(jnp.int32)])
+        seg_start = jax.lax.cummax(jnp.where(flag > 0, iota, 0))
+        rank = iota - seg_start
+        ok = jnp.max(rank) < C
+        slot = hs * C + jnp.minimum(rank, C - 1)
+        # table rows are FEATURE-BLOCKED: [px*C | py*C | vx*C | vy*C |
+        # valid*C | id*C] so a per-feature candidate block slices out as
+        # one contiguous (chunk, 9, C) -> (chunk, M) view
+        f = jnp.stack([px, py, vx, vy, jnp.ones_like(px),
+                       iota.astype(px.dtype)], axis=-1)
+        fs = jnp.take(f, order, axis=0)
+        table = jnp.zeros((H * C, 6), px.dtype).at[slot].set(
+            fs, mode="drop")
+        cell_rows = jnp.swapaxes(table.reshape(H, C, 6), -1, -2) \
+            .reshape(H, 6 * C)
+        offs = jnp.array([(dx, dy) for dx in (-1, 0, 1)
+                          for dy in (-1, 0, 1)], jnp.int32)
+
+        def window(lo):
+            sl = lambda z: jax.lax.dynamic_slice(z, (lo,), (chunk,))
+            pxc, pyc = sl(px), sl(py)
+            vxc, vyc = sl(vx), sl(vy)
+            cxc, cyc = sl(cx), sl(cy)
+            own = lo + jnp.arange(chunk, dtype=jnp.int32)
+            # 9 neighborhood windows (deduped when the modular map
+            # aliases two of the agent's own 9 cells — a duplicated
+            # window would double-count its candidates)
+            h9 = hash2(cxc[:, None] + offs[None, :, 0],
+                       cyc[:, None] + offs[None, :, 1])  # (chunk, 9)
+            dup = (h9[:, :, None] == h9[:, None, :])
+            first = jnp.argmax(dup, axis=-1)
+            keep = (first == jnp.arange(9)[None, :])     # (chunk, 9)
+            cand = jnp.take(cell_rows, h9.reshape(-1), axis=0) \
+                .reshape(chunk, 9, 6, C)
+            pick = lambda k: cand[:, :, k, :].reshape(chunk, M)
+            cpx, cpy, cvx, cvy = pick(0), pick(1), pick(2), pick(3)
+            valid = pick(4) * jnp.repeat(
+                keep.astype(px.dtype), C, axis=-1)
+            cid = pick(5).astype(jnp.int32)              # exact: N < 2^24
+            dpx = pxc[:, None] - cpx
+            dpy = pyc[:, None] - cpy
+            d2 = dpx ** 2 + dpy ** 2
+            m = ((valid > 0) & (d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
+                 & (cid != own[:, None]))
+            mf = m.astype(px.dtype)
+            # 6-feature states (same reductions as _jnp_states, over
+            # the 9C candidate window instead of all N)
+            dvx = vxc[:, None] - cvx
+            dvy = vyc[:, None] - cvy
+            inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
+            red = lambda z: jnp.sum(z, axis=-1)
+            st = jnp.stack(
+                [red(dvx * mf), red(dvy * mf),
+                 red(dpx * inv ** 2), red(dpy * inv ** 2),
+                 red(dpx * inv), red(dpy * inv)], axis=0)  # (6, chunk)
+            # first-d_max neighbors: rank-compare min-reduce directly
+            # over the candidates' ORIGINAL ids (one match per rank)
+            rdt = jnp.int8 if d_max < 127 else jnp.int32
+            rk = jnp.minimum(jnp.cumsum(m.astype(jnp.int32), axis=-1),
+                             d_max + 1).astype(rdt)
+            tgt = jnp.arange(1, d_max + 1, dtype=rdt)
+            candidates = jnp.where(
+                m[:, None, :] & (rk[:, None, :] == tgt[:, None]),
+                cid[:, None, :], jnp.int32(N))
+            idx = jnp.min(candidates, axis=-1)           # (chunk, d_max)
+            val = (idx < N).astype(px.dtype)
+            idx = jnp.where(idx < N, idx, 0)
+            return idx, val, st
+
+        idxs, vals, sts = jax.lax.map(
+            window, jnp.arange(N // chunk, dtype=jnp.int32) * chunk)
+        idx = idxs.reshape(N, d_max)
+        val = vals.reshape(N, d_max)
+        states = jnp.moveaxis(sts, 0, 1).reshape(6, N)
+        return idx, val, states, ok
+
+    idx, val, states, ok = jax.vmap(one)(pos, vel, v_prev)
+    lam, v = _ell_power_lambda(idx, val, v_prev, lam_iters)
+    return (idx, val / lam[:, None, None], states, v,
+            jnp.all(ok))
+
+
 def _topk_blocked(scores, k: int, block: int):
     """Exact top-k along the last axis in two stages: per-block top-k,
     then top-k over the nb·k candidates. Any global top-k element is in
@@ -631,13 +809,20 @@ class Flocking(Data):
     # -- closed-loop rollout (reference dataTools.py:3166-3340) -------------
     def _scan_rollout(self, T: int, w: int, policy, ell_degree=None,
                       lam_method: str = "eig", env_chunk=None,
-                      lam_iters: int = 8):
+                      lam_iters: int = 8, step_mode: bool = False,
+                      env_grid=None):
         """Build (and cache) a jitted lax.scan closed-loop rollout: the
         whole T-step env+model loop is ONE compiled program (no host
         round-trip per physics step — the reference pathology at
         dataTools.py:3166; SURVEY.md §7 hard-parts). policy must be
         traceable: (params, x_hist (B,w,6,N), S_hist) -> (B,w,2,N); its
         tap at the last window step drives the physics.
+
+        step_mode: the policy exposes rollout_init/rollout_step (the DB
+        architectures' register-carrying step interface) — the carry
+        holds the policy's own recurrent state instead of x/S history
+        windows, and each step does ONE graph shift per filter layer
+        instead of a w-step re-forward. Exact (test_rollout_step.py).
 
         ell_degree=D: the model sees ops.ell.EllGso histories (top-D
         in-neighbors per step) and the stacked graph trajectory comes
@@ -650,12 +835,18 @@ class Flocking(Data):
         the graph built in C-row chunks, lambda_max by warm-started
         power iteration (`lam_iters` per step) on the ELL matvec. This
         removes the env's own (N,N) allocations (17 GB each at N=65536),
-        the last dense obstacle to very large swarms."""
+        the last dense obstacle to very large swarms.
+
+        env_grid=(table_size, cell_cap) or True (requires ell_degree):
+        O(N·k) cell-list env step (``_jnp_env_step_grid``) — the rollout
+        additionally returns a trailing exactness flag ``ok`` (False iff
+        some hash cell overflowed cell_cap during the roll)."""
         import jax
         import jax.numpy as jnp
         from graph_neural_networks_tpu.ops import ell as ell_lib
+        step_mode = bool(step_mode and hasattr(policy, "rollout_step"))
         key = (T, w, id(policy), ell_degree, lam_method, env_chunk,
-               lam_iters)
+               lam_iters, step_mode, env_grid)
         cache = getattr(self, "_scan_cache", None)
         if cache is None:
             cache = self._scan_cache = {}
@@ -665,23 +856,21 @@ class Flocking(Data):
         r = self.commRadius
         a_max = self.accelMax
 
-        if env_chunk is not None:
+        if env_chunk is not None or env_grid is not None:
             assert ell_degree is not None, \
-                "env_chunk requires ell_degree (the O(N*deg) graph layout)"
+                "env_chunk/env_grid require ell_degree (the O(N*deg) " \
+                "graph layout)"
             init_fn, step_fn = self._chunked_pieces(
-                w, policy, ell_degree, env_chunk, lam_iters)
+                w, policy, ell_degree, env_chunk, lam_iters,
+                step_mode=step_mode, env_grid=env_grid)
 
             def rollout_chunked(params, init_pos, init_vel):
-                carry, _ = init_fn(init_pos, init_vel)
-                init_pos, init_vel, xw, iw, vw, v0 = carry
-                x0 = xw[:, -1]
-                i0 = iw[:, -1]
-                s0 = vw[:, -1, 0]
+                carry, (x0, i0, s0) = init_fn(init_pos, init_vel)
 
                 def step(carry, _):
                     return step_fn(params, carry)
 
-                _, (pos, vel, acc, xs, Ss) = jax.lax.scan(
+                carry, (pos, vel, acc, xs, Ss) = jax.lax.scan(
                     step, carry, None, length=T - 1)
                 swap = lambda z: jnp.moveaxis(z, 0, 1)
                 pos = jnp.concatenate([init_pos[:, None], swap(pos)], axis=1)
@@ -692,7 +881,10 @@ class Flocking(Data):
                 gi = jnp.concatenate([i0[:, None], swap(Ss[0])], axis=1)
                 gv = jnp.concatenate([s0[:, None], swap(Ss[1])], axis=1)
                 graphs = ell_lib.EllGso(gi, gv[:, :, None])
-                return pos, vel, accel, states, graphs
+                out = (pos, vel, accel, states, graphs)
+                if env_grid is not None:
+                    out = out + (carry[-1],)   # exactness flag
+                return out
 
             cache[key] = jax.jit(rollout_chunked)
             return cache[key]
@@ -701,14 +893,44 @@ class Flocking(Data):
             B, _, N = init_pos.shape
             S0 = _jnp_comm_graph(init_pos, r, lam_method)
             x0 = _jnp_states(init_pos, init_vel, S0)
+            if ell_degree is None:
+                to_out = lambda S_n: S_n
+            else:
+                D = min(ell_degree, N)
+                to_out = lambda S_n: ell_lib.ell_topk(S_n[:, None], D)
+
+            def env_advance(pos_t, vel_t, a):
+                vel_n = a * dt + vel_t
+                pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
+                S_n = _jnp_comm_graph(pos_n, r, lam_method)
+                x_n = _jnp_states(pos_n, vel_n, S_n)
+                return pos_n, vel_n, S_n, x_n
+
+            if step_mode:
+                # policy carries its own recurrent state; one shift/step
+                def step(carry, _):
+                    pos_t, vel_t, x_t, S_t, pstate = carry
+                    pstate, y = policy.rollout_step(params, pstate, x_t,
+                                                    S_t)
+                    a = jnp.clip(y, -a_max, a_max)
+                    pos_n, vel_n, S_n, x_n = env_advance(pos_t, vel_t, a)
+                    S_out = to_out(S_n)
+                    return ((pos_n, vel_n, x_n, S_out, pstate),
+                            (pos_n, vel_n, a, x_n, S_out))
+
+                carry = (init_pos, init_vel, x0, to_out(S0),
+                         policy.rollout_init(params, B, N))
+                _, (pos, vel, acc, xs, Ss) = jax.lax.scan(
+                    step, carry, None, length=T - 1)
+                return _assemble(init_pos, init_vel, x0, S0, pos, vel,
+                                 acc, xs, Ss)
+
             xw = jnp.zeros((B, w, 6, N), init_pos.dtype).at[:, -1].set(x0)
             if ell_degree is None:
                 Sw = jnp.zeros((B, w, N, N),
                                init_pos.dtype).at[:, -1].set(S0)
                 as_hist = lambda Sw: Sw
-                to_out = lambda S_n: S_n
             else:
-                D = min(ell_degree, N)
                 e0 = ell_lib.ell_topk(S0[:, None], D)           # lead (B,)
                 iw = jnp.zeros((B, w, N, D),
                                jnp.int32).at[:, -1].set(e0.idx)
@@ -716,7 +938,6 @@ class Flocking(Data):
                                init_pos.dtype).at[:, -1].set(e0.val)
                 Sw = (iw, vw)
                 as_hist = lambda Sw: ell_lib.EllGso(*Sw)
-                to_out = lambda S_n: ell_lib.ell_topk(S_n[:, None], D)
 
             def roll_window(Sw, S_new):
                 if ell_degree is None:
@@ -731,10 +952,7 @@ class Flocking(Data):
                 pos_t, vel_t, xw, Sw = carry
                 y = policy(params, xw, as_hist(Sw))
                 a = jnp.clip(y[:, -1], -a_max, a_max)
-                vel_n = a * dt + vel_t
-                pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
-                S_n = _jnp_comm_graph(pos_n, r, lam_method)
-                x_n = _jnp_states(pos_n, vel_n, S_n)
+                pos_n, vel_n, S_n, x_n = env_advance(pos_t, vel_t, a)
                 S_out = to_out(S_n)
                 xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
                 Sw = roll_window(Sw, S_out)
@@ -743,6 +961,10 @@ class Flocking(Data):
             carry = (init_pos, init_vel, xw, Sw)
             _, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
                                                       length=T - 1)
+            return _assemble(init_pos, init_vel, x0, S0, pos, vel, acc,
+                             xs, Ss)
+
+        def _assemble(init_pos, init_vel, x0, S0, pos, vel, acc, xs, Ss):
             # prepend t=0; accel convention matches the host loop: a from
             # step t drives the transition into t+1 and is stored at t
             swap = lambda z: jnp.moveaxis(z, 0, 1)
@@ -763,52 +985,99 @@ class Flocking(Data):
         cache[key] = jax.jit(rollout)
         return cache[key]
 
-    def _chunked_pieces(self, w, policy, ell_degree, env_chunk, lam_iters):
+    def _chunked_pieces(self, w, policy, ell_degree, env_chunk, lam_iters,
+                        step_mode: bool = False, env_grid=None):
         """init/step closures shared by the monolithic and segmented
         chunked rollouts. carry = (pos, vel, x-window, ell-idx-window,
-        ell-val-window, lambda_max eigenvector)."""
+        ell-val-window, lambda_max eigenvector [, ok]) — or, in
+        step_mode, (pos, vel, x_t, idx_t, val_t, policy-state,
+        eigenvector [, ok]): the policy's own registers replace the
+        history windows entirely (one graph shift per step instead of a
+        w-step re-forward).
+
+        env_grid: None uses the O(N·deg)-memory chunked all-pairs env
+        step; (table_size, cell_cap) or True uses the O(N·k) cell-list
+        grid step (``_jnp_env_step_grid``), adding a running exactness
+        flag ``ok`` (False iff some hash cell overflowed cell_cap at
+        some step) as the last carry element."""
         import jax.numpy as jnp
         from graph_neural_networks_tpu.ops import ell as ell_lib
         dt = self.samplingTime
         r = self.commRadius
         a_max = self.accelMax
+        step_mode = bool(step_mode and hasattr(policy, "rollout_step"))
+        use_grid = env_grid is not None
+        if use_grid:
+            gts, gcc = (None, 16) if env_grid is True else env_grid
+
+        def env_step(pos, vel, v, N, iters):
+            D = min(ell_degree, N)
+            if use_grid:
+                return _jnp_env_step_grid(
+                    pos, vel, r, D, v, lam_iters=iters,
+                    table_size=gts, cell_cap=gcc)
+            chunk = _fit_chunk(N, env_chunk)
+            i, s, x, v = _jnp_env_step_chunked(
+                pos, vel, r, D, chunk, v, lam_iters=iters)
+            return i, s, x, v, jnp.asarray(True)
 
         def init_fn(init_pos, init_vel):
             B, _, N = init_pos.shape
             D = min(ell_degree, N)
-            chunk = _fit_chunk(N, env_chunk)
             v0 = jnp.ones((B, N), init_pos.dtype) / jnp.sqrt(N)
-            i0, s0, x0, v0 = _jnp_env_step_chunked(
-                init_pos, init_vel, r, D, chunk, v0,
-                lam_iters=max(lam_iters, 32))   # cold start: converge
-            xw = jnp.zeros((B, w, 6, N),
-                           init_pos.dtype).at[:, -1].set(x0)
-            iw = jnp.zeros((B, w, N, D), jnp.int32).at[:, -1].set(i0)
-            vw = jnp.zeros((B, w, 1, N, D),
-                           init_pos.dtype).at[:, -1].set(s0[:, None])
-            return (init_pos, init_vel, xw, iw, vw, v0), (x0, i0, s0)
+            i0, s0, x0, v0, ok = env_step(
+                init_pos, init_vel, v0, N,
+                max(lam_iters, 32))             # cold start: converge
+            if step_mode:
+                pstate = policy.rollout_init(None, B, N)
+                carry = (init_pos, init_vel, x0, i0, s0, pstate, v0)
+            else:
+                xw = jnp.zeros((B, w, 6, N),
+                               init_pos.dtype).at[:, -1].set(x0)
+                iw = jnp.zeros((B, w, N, D), jnp.int32).at[:, -1].set(i0)
+                vw = jnp.zeros((B, w, 1, N, D),
+                               init_pos.dtype).at[:, -1].set(s0[:, None])
+                carry = (init_pos, init_vel, xw, iw, vw, v0)
+            if use_grid:
+                carry = carry + (ok,)
+            return carry, (x0, i0, s0)
 
         def step_fn(params, carry):
-            pos_t, vel_t, xw, iw, vw, v = carry
+            if use_grid:
+                *carry, ok = carry
+            if step_mode:
+                pos_t, vel_t, x_t, i_t, s_t, pstate, v = carry
+            else:
+                pos_t, vel_t, xw, iw, vw, v = carry
             B, _, N = pos_t.shape
-            D = min(ell_degree, N)
-            chunk = _fit_chunk(N, env_chunk)
-            y = policy(params, xw, ell_lib.EllGso(iw, vw))
-            a = jnp.clip(y[:, -1], -a_max, a_max)
+            if step_mode:
+                pstate, y = policy.rollout_step(
+                    params, pstate, x_t, ell_lib.EllGso(i_t, s_t[:, None]))
+                a = jnp.clip(y, -a_max, a_max)
+            else:
+                y = policy(params, xw, ell_lib.EllGso(iw, vw))
+                a = jnp.clip(y[:, -1], -a_max, a_max)
             vel_n = a * dt + vel_t
             pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
-            i_n, s_n, x_n, v = _jnp_env_step_chunked(
-                pos_n, vel_n, r, D, chunk, v, lam_iters=lam_iters)
-            xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
-            iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)
-            vw = jnp.concatenate([vw[:, 1:], s_n[:, None, None]], axis=1)
-            return ((pos_n, vel_n, xw, iw, vw, v),
-                    (pos_n, vel_n, a, x_n, (i_n, s_n)))
+            i_n, s_n, x_n, v, ok_n = env_step(pos_n, vel_n, v, N,
+                                              lam_iters)
+            if step_mode:
+                out = (pos_n, vel_n, x_n, i_n, s_n, pstate, v)
+            else:
+                xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
+                iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)
+                vw = jnp.concatenate([vw[:, 1:], s_n[:, None, None]],
+                                     axis=1)
+                out = (pos_n, vel_n, xw, iw, vw, v)
+            if use_grid:
+                out = out + (jnp.logical_and(ok, ok_n),)
+            return out, (pos_n, vel_n, a, x_n, (i_n, s_n))
 
         return init_fn, step_fn
 
     def _scan_rollout_segmented(self, T, w, policy, ell_degree, env_chunk,
-                                lam_iters: int = 8, seg: int = 8):
+                                lam_iters: int = 8, seg: int = 8,
+                                step_mode: bool = False, env_grid=None):
         """Host-segmented chunked rollout for very large swarms: the
         T-step closed loop runs as ceil((T-1)/seg) device programs of at
         most `seg` scan steps each, with the carry kept on device and
@@ -821,12 +1090,23 @@ class Flocking(Data):
         device (TODO.md round-2 log) — and (b) caps device-resident
         trajectory memory at O(seg·N·deg) instead of O(T·N·deg).
         Returns numpy (pos, vel, accel, states, EllGso graphs) in the
-        same layout as the monolithic rollout."""
+        same layout as the monolithic rollout. The compiled init/segment
+        programs are cached on self (same key scheme as _scan_rollout)
+        so repeated calls — e.g. per-epoch evaluation — do not
+        re-trace."""
         import jax
         import jax.numpy as jnp
         from graph_neural_networks_tpu.ops import ell as ell_lib
+        key = ("seg", T, w, id(policy), ell_degree, env_chunk, lam_iters,
+               seg, step_mode, env_grid)
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        if key in cache:
+            return cache[key]
         init_fn, step_fn = self._chunked_pieces(
-            w, policy, ell_degree, env_chunk, lam_iters)
+            w, policy, ell_degree, env_chunk, lam_iters,
+            step_mode=step_mode, env_grid=env_grid)
         init_jit = jax.jit(init_fn)
         seg_cache = {}
 
@@ -843,6 +1123,15 @@ class Flocking(Data):
             carry, (x0, i0, s0) = init_jit(init_pos, init_vel)
             host = lambda z: np.asarray(jax.device_get(z))
             pos_l, vel_l, acc_l, xs_l, gi_l, gv_l = ([] for _ in range(6))
+            if T <= 1:      # init-only trajectory (duration <= dt)
+                x0, i0, s0 = host(x0), host(i0), host(s0)
+                out = (host(init_pos)[:, None], host(init_vel)[:, None],
+                       np.zeros_like(host(init_pos))[:, None],
+                       x0[:, None],
+                       ell_lib.EllGso(i0[:, None], s0[:, None, None]))
+                if env_grid is not None:
+                    out = out + (host(carry[-1]),)
+                return out
             left = T - 1
             while left > 0:
                 n = min(seg, left)
@@ -863,31 +1152,59 @@ class Flocking(Data):
             gi = np.concatenate([i0[:, None], swap(gi_l)], axis=1)
             gv = np.concatenate([s0[:, None], swap(gv_l)], axis=1)
             graphs = ell_lib.EllGso(gi, gv[:, :, None])
-            return pos, vel, accel, states, graphs
+            out = (pos, vel, accel, states, graphs)
+            if env_grid is not None:
+                out = out + (host(carry[-1]),)   # exactness flag
+            return out
 
+        cache[key] = run
         return run
 
     def compute_trajectory(self, initPos, initVel, duration, archit=None,
                            accel=None, params=None, rng=None, doPrint=None,
                            history_window=None, jit=True, ell_degree=None,
                            lam_method: str = "eig", env_chunk=None,
-                           lam_iters: int = 8, seg=None):
+                           lam_iters: int = 8, seg=None, step_mode=None,
+                           env_grid=None):
         """Roll the swarm forward. Either apply a given open-loop `accel`
         sequence, or run `archit` (params, x_hist, S_hist) -> accel closed
         loop: at each step the model sees the (zero-padded) history and its
         output at the current step drives the physics.
 
+        env_grid (requires ell_degree; True or (table_size, cell_cap)):
+        O(N·k) cell-list environment step — the TPU-scalable path for
+        very large swarms (``_jnp_env_step_grid``). Exact vs the
+        all-pairs env whenever no hash cell overflows cell_cap; a
+        RuntimeWarning is raised if one did (raise cell_cap /
+        table_size).
+
         history_window: for causal finite-memory controllers (K-tap
         delayed filters, aggregation GNNs) pass their memory depth — the
         rollout then feeds only the last `window` steps each call
-        (identical outputs by causality, O(T*K) instead of O(T^2))."""
+        (identical outputs by causality, O(T*K) instead of O(T^2)).
+
+        step_mode (None = auto): when `archit` exposes
+        rollout_init/rollout_step (all three DB architectures), the
+        compiled rollout carries the policy's own recurrent registers
+        and does ONE graph shift per step — no history windows at all
+        (exact; test_rollout_step.py / test_data.py parity). Auto also
+        enables the compiled scan path for GraphRecurrentNN_DB, which
+        has no finite causal window. Pass step_mode=False to force the
+        windowed re-forward path."""
         assert archit is not None or accel is not None
+        if step_mode is None:
+            step_mode = archit is not None and hasattr(archit,
+                                                       "rollout_step")
+        step_mode = bool(step_mode and archit is not None
+                         and hasattr(archit, "rollout_step"))
         if ell_degree is None:
             ell_degree = self.rollout_ell_degree
         if lam_method == "eig" and self.rollout_lam_method != "eig":
             lam_method = self.rollout_lam_method
         if env_chunk is None:
             env_chunk = getattr(self, "rollout_env_chunk", None)
+        if env_grid is None:
+            env_grid = getattr(self, "rollout_env_grid", None)
         initPos = np.asarray(initPos, np.float64)
         initVel = np.asarray(initVel, np.float64)
         B, _, N = initPos.shape
@@ -905,34 +1222,61 @@ class Flocking(Data):
                              + pos[:, t - 1])
             return pos, vel, accel, None, None
 
-        if history_window is not None and jit and params is not None:
+        if ((history_window is not None or step_mode) and jit
+                and params is not None):
             # one compiled lax.scan for the whole closed loop (policy must
             # be traceable and take explicit params; legacy numpy policies
             # pass params=None and fall through to the host loop below)
             import jax
             import jax.numpy as jnp
-            if seg is not None and env_chunk is not None:
+            w = int(history_window) if history_window is not None else 0
+            to_f64 = lambda out: tuple(jax.tree_util.tree_map(
+                lambda a: np.asarray(
+                    a, np.float64 if np.issubdtype(a.dtype, np.floating)
+                    else None), o) for o in out)
+
+            def check_ok(out):
+                # grid mode returns a trailing exactness flag: strip it
+                # and surface overflow as a warning (results stand, but
+                # some neighbor may have been missed)
+                if env_grid is None:
+                    return out
+                *out, ok = out
+                if not bool(np.asarray(ok)):
+                    import warnings
+                    warnings.warn(
+                        "grid env: a hash cell overflowed cell_cap "
+                        "during the rollout — neighbor sets may be "
+                        "incomplete; raise cell_cap or table_size",
+                        RuntimeWarning)
+                return tuple(out)
+
+            if seg is not None:
                 # host-segmented: bounds single-program device time for
                 # very large swarms (see _scan_rollout_segmented)
+                assert env_chunk is not None or env_grid is not None, \
+                    "seg= requires env_chunk or env_grid (the O(N*deg) " \
+                    "env path is what the segmented rollout segments)"
                 roll = self._scan_rollout_segmented(
-                    T, int(history_window), archit,
+                    T, w, archit,
                     ell_degree=ell_degree, env_chunk=env_chunk,
-                    lam_iters=lam_iters, seg=int(seg))
-                return roll(params, jnp.asarray(initPos, jnp.float32),
-                            jnp.asarray(initVel, jnp.float32))
-            roll = self._scan_rollout(T, int(history_window), archit,
+                    lam_iters=lam_iters, seg=int(seg),
+                    step_mode=step_mode, env_grid=env_grid)
+                return check_ok(to_f64(roll(
+                    params, jnp.asarray(initPos, jnp.float32),
+                    jnp.asarray(initVel, jnp.float32))))
+            roll = self._scan_rollout(T, w, archit,
                                       ell_degree=ell_degree,
                                       lam_method=lam_method,
                                       env_chunk=env_chunk,
-                                      lam_iters=lam_iters)
+                                      lam_iters=lam_iters,
+                                      step_mode=step_mode,
+                                      env_grid=env_grid)
             out = roll(params, jnp.asarray(initPos, jnp.float32),
                        jnp.asarray(initVel, jnp.float32))
             # graphs may be an EllGso pytree (ell_degree mode): convert
             # leaf-wise, keeping integer index dtype
-            return tuple(jax.tree_util.tree_map(
-                lambda a: np.asarray(
-                    a, np.float64 if np.issubdtype(a.dtype, np.floating)
-                    else None), o) for o in out)
+            return check_ok(to_f64(out))
 
         accel_out = np.zeros((B, T, 2, N))
         state_hist = np.zeros((B, T, 6, N))

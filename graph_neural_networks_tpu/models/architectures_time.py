@@ -35,6 +35,65 @@ def _normalize_S(S):
     return S
 
 
+# -- step-mode pieces (closed-loop rollouts) --------------------------------
+#
+# The DB family is causal by construction: every tap chain is the
+# recurrence z_k(t) = S(t)·z_{k-1}(t-1). A closed-loop rollout therefore
+# never needs to re-run the filter over a history window — it can carry
+# the (K-1)-deep node-major registers across environment steps and do ONE
+# graph shift per step (the TPU gather is row-latency bound and flat in
+# row width, so this is ~window/1 fewer gathered rows than the windowed
+# re-forward). rollout_init/rollout_step below are exact: step outputs
+# equal apply() on the full (zero-padded) history at each t.
+# Replaces: reference computeTrajectory's full re-forward per step
+# (dataTools.py:3166-3340 calling architecturesTime.py:205).
+
+def _step_shift_rows(r, S_t):
+    """One node-major graph shift of r (B,N,E,C) by a per-step GSO:
+    ops.ell.EllGso with leading (B,), or dense (B,N,N)/(B,E,N,N)."""
+    if isinstance(S_t, filters.ell_lib.EllGso):
+        return S_t.db_shift_rows(r)
+    S = jnp.asarray(S_t, jnp.float32)
+    if S.ndim == 3:
+        S = S[:, None]
+    return jnp.einsum("bnec,benm->bmec", r, S)
+
+
+def _tap_register_step(w, b, reg, x_nm, S_t):
+    """One causal step of a delayed graph filter (ops.filters.lsigf_db)
+    on the node-major tap register. w: (F,E,K,G); reg: (B,N,E,K-1,G)
+    holding z_{0..K-2}(t-1); x_nm: (B,N,G). Returns (reg', y (B,N,F))."""
+    F, E, K, G = w.shape
+    B, N, _ = x_nm.shape
+    x0 = jnp.broadcast_to(x_nm[:, :, None, None], (B, N, E, 1, G))
+    if K > 1:
+        r = reg.reshape(B, N, E, (K - 1) * G)
+        shifted = _step_shift_rows(r, S_t).reshape(B, N, E, K - 1, G)
+        stack = jnp.concatenate([x0, shifted], axis=-2)
+    else:
+        stack = x0
+    y = jnp.einsum("bnekg,fekg->bnf", stack, w)
+    if b is not None:
+        y = y + jnp.reshape(b, (-1,))
+    return stack[..., : K - 1, :], y
+
+
+def _readout_apply(p, z, sigma):
+    """Per-node readout MLP on node-major z (..., F), reading the
+    TorchDense_i kernels from the flax param subtree (nonlinearity
+    between layers, never after the last — architectures.MLP)."""
+    i = 0
+    while f"TorchDense_{i}" in p:
+        dp = p[f"TorchDense_{i}"]
+        if i > 0:
+            z = sigma(z)
+        z = z @ dp["kernel"]
+        if "bias" in dp:
+            z = z + dp["bias"]
+        i += 1
+    return z
+
+
 class _LocalDBCore(nn.Module):
     """(GraphFilterDB -> sigma) x L + per-node readout."""
     dims: tuple
@@ -87,6 +146,7 @@ class LocalGNN_DB(_TimeArchBase):
         assert len(dimNodeSignals) == len(nFilterTaps) + 1
         self.E = dimEdgeFeatures
         self.F = list(dimNodeSignals)
+        self.taps = list(nFilterTaps)
         self.core = _LocalDBCore(
             dims=_as_tuple(dimNodeSignals), taps=_as_tuple(nFilterTaps),
             sigma=resolve_activation(nonlinearity),
@@ -105,6 +165,32 @@ class LocalGNN_DB(_TimeArchBase):
     def split_forward(self, params, x, S):
         return self._jit_apply(params, jnp.asarray(x, jnp.float32),
                                _normalize_S(S))
+
+    # -- step mode (closed-loop rollouts) -----------------------------------
+    def rollout_init(self, params, B: int, N: int, rng=None,
+                     dtype=jnp.float32):
+        """Zeroed per-layer tap registers — equivalent to an all-zero
+        history, i.e. the window rollout's left padding."""
+        del params, rng
+        return tuple(jnp.zeros((B, N, self.E, k - 1, g), dtype)
+                     for k, g in zip(self.taps, self.F[:-1]))
+
+    def rollout_step(self, params, state, x_t, S_t):
+        """One causal step: (state', y_t (B,dimReadout[-1],N)) with y_t
+        exactly equal to apply() on the full history at time t.
+        x_t: (B,F0,N); S_t: EllGso with leading (B,) or dense
+        (B,N,N)/(B,E,N,N)."""
+        p = params["params"]
+        h = jnp.swapaxes(jnp.asarray(x_t, jnp.float32), -1, -2)
+        new_state = []
+        for l in range(len(self.taps)):
+            lp = p[f"GraphFilterDB_{l}"]
+            reg, y = _tap_register_step(lp["weight"], lp.get("bias"),
+                                        state[l], h, S_t)
+            new_state.append(reg)
+            h = self.core.sigma(y)
+        z = _readout_apply(p["Readout"], h, self.core.sigma)
+        return tuple(new_state), jnp.swapaxes(z, -1, -2)
 
 
 class _GRNNDBCore(nn.Module):
@@ -146,6 +232,7 @@ class GraphRecurrentNN_DB(_TimeArchBase):
         self.E = dimEdgeFeatures
         self.F = dimInputSignals
         self.H = dimHiddenSignals
+        self.taps = list(nFilterTaps)
         self.core = _GRNNDBCore(
             hidden=dimHiddenSignals, dim_in=dimInputSignals,
             dim_out=dimOutputSignals, taps=_as_tuple(nFilterTaps),
@@ -170,6 +257,55 @@ class GraphRecurrentNN_DB(_TimeArchBase):
             rng = jax.random.PRNGKey(0) if rng is None else rng
             z0 = jax.random.normal(rng, (B, self.H, N))
         return self._jit_apply(params, x, z0, S)
+
+    # -- step mode (closed-loop rollouts) -----------------------------------
+    def rollout_init(self, params, B: int, N: int, rng=None,
+                     dtype=jnp.float32):
+        """Initial recurrent state: z0 ~ N(0,1) (PRNGKey(0) when rng is
+        None — matching split_forward's default so step-mode rollouts
+        reproduce the windowless host loop), zeroed tap registers."""
+        del params
+        Ka, Kb = self.taps
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        z0 = jax.random.normal(rng, (B, self.H, N), dtype)
+        return (jnp.zeros((B, N, self.E, Ka - 1, self.F), dtype),
+                jnp.swapaxes(z0, -1, -2),
+                jnp.zeros((B, N, self.E, Ka - 1, self.H), dtype),
+                jnp.zeros((B, N, self.E, Kb - 1, self.H), dtype))
+
+    def rollout_step(self, params, state, x_t, S_t):
+        """One recurrent step; exact vs apply() on the full history
+        (the GRNN has infinite memory, so unlike the finite-window
+        models there IS no exact windowed form — step mode is both the
+        fast and the correct closed-loop semantics)."""
+        p = params["params"]
+        xa_reg, z_prev, z_tail, zo_reg = state
+        B, N, _ = z_prev.shape
+        hp = p["hiddenState"]
+        x_nm = jnp.swapaxes(jnp.asarray(x_t, jnp.float32), -1, -2)
+        xa_reg, ax = _tap_register_step(hp["aWeights"], hp.get("xBias"),
+                                        xa_reg, x_nm, S_t)
+        Ka = self.taps[0]
+        z0b = jnp.broadcast_to(z_prev[:, :, None, None],
+                               (B, N, self.E, 1, self.H))
+        if Ka > 1:
+            r = z_tail.reshape(B, N, self.E, (Ka - 1) * self.H)
+            shifted = _step_shift_rows(r, S_t) \
+                .reshape(B, N, self.E, Ka - 1, self.H)
+            reg_b = jnp.concatenate([z0b, shifted], axis=-2)
+        else:
+            reg_b = z0b
+        bz = jnp.einsum("bnekj,hekj->bnh", reg_b, hp["bWeights"])
+        if "zBias" in hp:
+            bz = bz + jnp.reshape(hp["zBias"], (-1,))
+        z_t = self.core.sigma_hidden(ax + bz)
+        op = p["outputState"]
+        zo_reg, y = _tap_register_step(op["weight"], op.get("bias"),
+                                       zo_reg, z_t, S_t)
+        y_out = self.core.rho_output(y)
+        z = _readout_apply(p["Readout"], y_out, self.core.sigma_readout)
+        new_state = (xa_reg, z_t, reg_b[..., : Ka - 1, :], zo_reg)
+        return new_state, jnp.swapaxes(z, -1, -2)
 
 
 class _AggDBCore(nn.Module):
@@ -270,3 +406,50 @@ class AggregationGNN_DB(_TimeArchBase):
     def split_forward(self, params, x, S):
         return self._jit_apply(params, jnp.asarray(x, jnp.float32),
                                _normalize_S(S))
+
+    # -- step mode (closed-loop rollouts) -----------------------------------
+    def rollout_init(self, params, B: int, N: int, rng=None,
+                     dtype=jnp.float32):
+        """Zeroed delayed-aggregation register (z_{0..nExch-1}(t-1))."""
+        del params, rng
+        return jnp.zeros((B, N, self.E, self.n_exchanges, self.F[0]),
+                         dtype)
+
+    def rollout_step(self, params, state, x_t, S_t):
+        """One causal step of the delayed aggregation sequence + conv
+        stack; exact vs apply() on the full history at time t."""
+        p = params["params"]
+        B, _, N = x_t.shape
+        F0, nE = self.F[0], self.n_exchanges
+        x_nm = jnp.swapaxes(jnp.asarray(x_t, jnp.float32), -1, -2)
+        x0 = jnp.broadcast_to(x_nm[:, :, None, None], (B, N, self.E, 1, F0))
+        if nE > 0:
+            r = state.reshape(B, N, self.E, nE * F0)
+            shifted = _step_shift_rows(r, S_t) \
+                .reshape(B, N, self.E, nE, F0)
+            seq = jnp.concatenate([x0, shifted], axis=-2)
+        else:
+            seq = x0
+        new_state = seq[..., :nE, :]
+        z = jnp.sum(seq, axis=2)                  # (B,N,nE+1,F0)
+        z = jnp.swapaxes(z, -1, -2)               # (B,N,F0,nE+1)
+        z = z.reshape(B * N, F0, nE + 1)
+        for l, k in enumerate(self.core.taps):
+            cp = p[f"Conv_{l}"]
+            ker = cp["kernel"]                    # (k, in, out)
+            zl = jnp.swapaxes(z, -1, -2)          # (BN, L, F)
+            Lout = zl.shape[1] - k + 1
+            y = sum(zl[:, dk:dk + Lout, :] @ ker[dk] for dk in range(k))
+            if "bias" in cp:
+                y = y + cp["bias"]
+            z = jnp.swapaxes(y, -1, -2)           # (BN, F', Lout)
+            z = self.core.sigma(z)
+            a = self.core.alpha[l]
+            if a > 1:
+                Lw = z.shape[-1]
+                keep = (Lw // a) * a
+                z = jnp.max(z[..., :keep].reshape(z.shape[0], z.shape[1],
+                                                  keep // a, a), axis=-1)
+        y = z.reshape(B * N, self.core.dims[-1] * self.core.n_seq[-1])
+        y = _readout_apply(p["Readout"], y, self.core.sigma)
+        return new_state, y.reshape(B, N, -1).transpose(0, 2, 1)

@@ -487,3 +487,80 @@ def test_trainer_flocking_ell(flock, tmp_path):
     out = model.train(flock, nEpochs=1, batchSize=6, validationInterval=4,
                       ellDegree=9)
     assert np.isfinite(out["lossTrain"]).all()
+
+
+def _rand_swarm(N=60, B=2, seed=5):
+    from graph_neural_networks_tpu.data import flocking as F
+    rng = np.random.default_rng(seed)
+    env = F.Flocking.for_rollout(N, commRadius=2.0, repelDist=1.0,
+                                 samplingTime=0.05, rng=rng)
+    ip, iv = env.compute_initial_positions(
+        N, B, env.commRadius, minDist=env.initMinDist,
+        geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
+    return env, jnp.asarray(ip, jnp.float32), jnp.asarray(iv, jnp.float32)
+
+
+def _densify_ell(idx, val):
+    B, N, D = idx.shape
+    S = np.zeros((B, N, N))
+    for b in range(B):
+        np.add.at(S[b], (np.arange(N)[:, None].repeat(D, 1),
+                         np.asarray(idx[b])), np.asarray(val[b]))
+    # ELL rows are OUT nodes gathering in-neighbors: S[m, n] here; the
+    # graph is symmetric so orientation does not matter for comparison
+    return S
+
+
+def test_grid_env_step_matches_chunked():
+    """The O(N·k) cell-list env step produces the same neighbor sets,
+    states, and lambda as the all-pairs chunked step (generous
+    cell_cap: exact)."""
+    from graph_neural_networks_tpu.data import flocking as F
+    env, ip, iv = _rand_swarm()
+    B, _, N = ip.shape
+    D = 32
+    v0 = jnp.ones((B, N), jnp.float32) / np.sqrt(N)
+    ic, sc, xc, vc = F._jnp_env_step_chunked(ip, iv, 2.0, D, N, v0,
+                                             lam_iters=64)
+    ig, sg, xg, vg, ok = F._jnp_env_step_grid(ip, iv, 2.0, D, v0,
+                                              lam_iters=64, cell_cap=64)
+    assert bool(ok)
+    np.testing.assert_array_equal(_densify_ell(ig, sg) > 0,
+                                  _densify_ell(ic, sc) > 0)
+    np.testing.assert_allclose(np.asarray(sg).sum(), np.asarray(sc).sum(),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(xg), np.asarray(xc),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(_densify_ell(ig, sg), _densify_ell(ic, sc),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_grid_env_overflow_flag():
+    """A tiny cell_cap must trip the exactness flag."""
+    from graph_neural_networks_tpu.data import flocking as F
+    env, ip, iv = _rand_swarm()
+    B, _, N = ip.shape
+    v0 = jnp.ones((B, N), jnp.float32) / np.sqrt(N)
+    *_, ok = F._jnp_env_step_grid(ip, iv, 2.0, 8, v0, lam_iters=2,
+                                  cell_cap=1)
+    assert not bool(ok)
+
+
+def test_grid_rollout_matches_chunked_rollout():
+    """Full closed-loop rollout with the grid env reproduces the
+    chunked-env rollout's trajectories (monolithic and segmented)."""
+    from graph_neural_networks_tpu.models import architectures_time as archt
+    env, ip, iv = _rand_swarm()
+    net = archt.LocalGNN_DB(dimNodeSignals=[6, 8], nFilterTaps=[3],
+                            bias=True, nonlinearity="tanh",
+                            dimReadout=[2], dimEdgeFeatures=1)
+    params = net.init(jax.random.PRNGKey(8), N=60, T=3)
+    kw = dict(archit=net, params=params, ell_degree=16,
+              history_window=net.causal_window)
+    p_chunk = env.compute_trajectory(ip, iv, 0.6, env_chunk=30, **kw)[0]
+    p_grid = env.compute_trajectory(ip, iv, 0.6,
+                                    env_grid=(1024, 64), **kw)[0]
+    np.testing.assert_allclose(p_grid, p_chunk, rtol=2e-4, atol=2e-4)
+    p_gseg = env.compute_trajectory(ip, iv, 0.6, env_grid=(1024, 64),
+                                    seg=3, **kw)[0]
+    np.testing.assert_allclose(p_gseg, p_grid, rtol=1e-6, atol=1e-6)
