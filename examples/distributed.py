@@ -11,6 +11,18 @@ device count — e.g. 8 virtual CPU devices:
 
 On a real pod slice, replace the mesh with parallel.make_pod_mesh() (the
 'graph' axis stays inside each host's ICI domain).
+
+Multi-process mode (one process per host; the TPU-pod launch shape) —
+e.g. a 2-process CPU cluster on one machine:
+
+    python examples/distributed.py --cpu --num-processes 2 \
+        --process-id 0 --coordinator localhost:9633 &
+    python examples/distributed.py --cpu --num-processes 2 \
+        --process-id 1 --coordinator localhost:9633
+
+Each process initializes jax.distributed, loads only ITS batch slice
+(parallel.per_host_batch_slice) and assembles global arrays with
+jax.make_array_from_process_local_data (parallel.shard_host_data).
 """
 
 import argparse
@@ -27,11 +39,15 @@ def main():
     ap.add_argument("--data-par", type=int, default=None)
     ap.add_argument("--graph-par", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--coordinator", default="localhost:9633")
     args = ap.parse_args()
     if args.cpu:
         import os
         flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
+        if args.num_processes == 1 and \
+                "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
                 flags + " --xla_force_host_platform_device_count=8").strip()
         import jax
@@ -42,13 +58,25 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from graph_neural_networks_tpu import parallel as par
+    from graph_neural_networks_tpu.parallel import multihost as mh
     from graph_neural_networks_tpu.ops import filters
     from graph_neural_networks_tpu.utils import graph as gt
 
+    multiproc = args.num_processes > 1
+    if multiproc:
+        info = mh.initialize_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes, process_id=args.process_id)
+        print(f"process {info['process_index']}/{info['process_count']}: "
+              f"{info['local_devices']} local / {info['devices']} devices")
+
     n_dev = jax.device_count()
-    n_graph = args.graph_par or (4 if n_dev % 4 == 0 else 1)
+    n_graph = args.graph_par or \
+        ((4 if n_dev % 4 == 0 else 1) if not multiproc
+         else len(jax.local_devices()))
     n_data = args.data_par or n_dev // n_graph
-    mesh = par.make_mesh((n_data, n_graph))
+    mesh = (mh.make_pod_mesh(n_graph) if multiproc
+            else par.make_mesh((n_data, n_graph)))
     print(f"devices: {n_dev}; mesh: data={n_data} x graph={n_graph}")
 
     # task: source localization on a ring-of-clusters graph (banded after
@@ -111,24 +139,39 @@ def main():
         up, s = opt.update(g, s)
         return optax.apply_updates(p, up), s, l
 
-    x_sh = NamedSharding(mesh, P("data", None, None, "graph"))
-    y_sh = NamedSharding(mesh, P("data"))
+    x_spec = P("data", None, None, "graph")
+    y_spec = P("data")
     repl = NamedSharding(mesh, P())
+
+    def put_batch(xb, yb):
+        # per-host loading: each process materializes only ITS slice
+        if multiproc:
+            sl = mh.per_host_batch_slice(len(yb))
+            return (mh.shard_host_data(mesh, np.asarray(xb[sl]), x_spec),
+                    mh.shard_host_data(mesh, np.asarray(yb[sl]), y_spec))
+        return (jax.device_put(jnp.asarray(xb), NamedSharding(mesh, x_spec)),
+                jax.device_put(jnp.asarray(yb), NamedSharding(mesh, y_spec)))
+
     batch = 256
     with mesh:
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
         step_jit = jax.jit(step)
         for epoch in range(16):
-            perm = rng.permutation(n_samples)
+            perm = rng.permutation(n_samples)   # same seed on every host
             for i in range(0, n_samples, batch):
                 idx = perm[i:i + batch]
-                xb = jax.device_put(jnp.asarray(X[idx]), x_sh)
-                yb = jax.device_put(jnp.asarray(Y[idx]), y_sh)
+                xb, yb = put_batch(X[idx], Y[idx])
                 params, opt_state, l = step_jit(params, opt_state, xb, yb)
             if epoch % 2 == 1:
-                xb = jax.device_put(jnp.asarray(X), x_sh)
+                xb, _ = put_batch(X, Y)
                 logits = jax.jit(forward)(params, xb)
+                if multiproc:
+                    from jax.experimental import multihost_utils
+                    logits = multihost_utils.process_allgather(
+                        logits, tiled=True)
+                else:
+                    logits = np.asarray(logits)
                 acc = float((np.argmax(np.asarray(logits), 1) == Y).mean())
                 print(f"epoch {epoch + 1}: loss {float(l):.4f} "
                       f"train acc {acc:.3f}")
