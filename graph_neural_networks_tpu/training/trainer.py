@@ -86,9 +86,16 @@ class Trainer:
         self.metricsFile = kwargs.get("metricsFile")
         self.logger = kwargs.get("logger")  # utils.visual.Visualizer
         self.resume = kwargs.get("resume", False)
-        # True (default) = scan the steps between validation points into
-        # one dispatch; an int caps the run length; False = step-by-step.
-        self.scanDispatch = kwargs.get("scanDispatch", True)
+        # True = scan the steps between validation points into one
+        # dispatch; an int caps the run length; False = step-by-step.
+        # Default "auto" = on for accelerators (the TPU tunnel's ~6 ms
+        # per-step dispatch is the motivating case), off on CPU where
+        # dispatch is cheap and the scan program's extra compile loses
+        # end-to-end on short runs (bench_scan_dispatch_cpu.json: 1.10x
+        # steady-state but 0.87x with compile on a 20-epoch run).
+        self.scanDispatch = kwargs.get("scanDispatch", "auto")
+        if self.scanDispatch == "auto":
+            self.scanDispatch = jax.default_backend() != "cpu"
         self.scanMemoryBudget = kwargs.get("scanMemoryBudget", 1 << 30)
         self._step_nbytes = {}  # per-batch-size device bytes of one step
         # mesh=jax.sharding.Mesh -> data-parallel training: batch args
