@@ -272,8 +272,28 @@ class _ArchBase:
         return self.core.init(key, dummy, self.ctx)
 
     # -- forward contracts -------------------------------------------------
+    def _ctx_for_dtype(self, dtype):
+        """ctx with floating leaves cast to the compute dtype (memoized):
+        bf16 mixed precision needs the GSO in bf16 too, or the shift
+        einsums silently promote back to f32."""
+        if dtype == jnp.float32:
+            return self.ctx
+        cache = getattr(self, "_ctx_cast", None)
+        if cache is None:
+            cache = self._ctx_cast = {}
+        if dtype not in cache:
+            cache[dtype] = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if (hasattr(a, "dtype")
+                    and jnp.issubdtype(a.dtype, jnp.floating)) else a,
+                self.ctx)
+        return cache[dtype]
+
     def split_forward(self, params, x):
-        return self._jit_apply(params, jnp.asarray(x, jnp.float32), self.ctx)
+        x = jnp.asarray(x)
+        if x.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32):
+            x = x.astype(jnp.float32)   # f64/int inputs: compute in f32
+        return self._jit_apply(params, x, self._ctx_for_dtype(x.dtype))
 
     def apply(self, params, x):
         return self.split_forward(params, x)[0]
@@ -319,6 +339,7 @@ class _ArchBase:
         assert S_np is not None, "architecture was not built with _S_np"
         part = par.partition_nodes(S_np, n_parts, order=order)
         self.ctx = dict(self.ctx)
+        self._ctx_cast = {}
         if order != "none":
             core = self.core
             assert "order_map" in self.ctx, \
@@ -1037,6 +1058,7 @@ class GraphRecurrentNN(_ArchBase):
         self.gso_mode = gsoMode
         self._S_np = GSO
         self.ctx = {"S": _make_gso(GSO, gsoMode)}
+        self._ctx_cast = {}
         self.S = self.ctx["S"]
         self.core = _GRNNCore(
             hidden_kind=self.hidden_kind, dim_in=dimInputSignals,
@@ -1081,6 +1103,7 @@ class GraphRecurrentNN(_ArchBase):
         GSO = _normalize_gso(GSO)
         self._S_np = GSO
         self.ctx = {"S": _make_gso(GSO, getattr(self, "gso_mode", "dense"))}
+        self._ctx_cast = {}
         self.S = self.ctx["S"]
 
     change_gso = changeGSO

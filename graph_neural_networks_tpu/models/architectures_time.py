@@ -28,11 +28,22 @@ __all__ = ["LocalGNN_DB", "GraphRecurrentNN_DB", "AggregationGNN_DB"]
 def _normalize_S(S):
     if isinstance(S, filters.ell_lib.EllGso):
         return S                  # O(N·deg) padded-neighbor layout
-    S = jnp.asarray(S, jnp.float32)
+    S = jnp.asarray(S)
+    if S.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32):
+        S = S.astype(jnp.float32)
     if S.ndim == 4:               # B x T x N x N -> add E
         S = S[:, :, None]
     assert S.ndim == 5
     return S
+
+
+def _as_compute(x):
+    """f64/int inputs compute in f32; bf16/f16 inputs are preserved
+    (mixed-precision training casts batches before the forward)."""
+    x = jnp.asarray(x)
+    if x.dtype not in (jnp.bfloat16, jnp.float16, jnp.float32):
+        x = x.astype(jnp.float32)
+    return x
 
 
 # -- step-mode pieces (closed-loop rollouts) --------------------------------
@@ -163,8 +174,7 @@ class LocalGNN_DB(_TimeArchBase):
         return self.core.init(key, x, S)
 
     def split_forward(self, params, x, S):
-        return self._jit_apply(params, jnp.asarray(x, jnp.float32),
-                               _normalize_S(S))
+        return self._jit_apply(params, _as_compute(x), _normalize_S(S))
 
     # -- step mode (closed-loop rollouts) -----------------------------------
     def rollout_init(self, params, B: int, N: int, rng=None,
@@ -250,12 +260,12 @@ class GraphRecurrentNN_DB(_TimeArchBase):
         return self.core.init(key, x, z0, S)
 
     def split_forward(self, params, x, S, rng=None, z0=None):
-        x = jnp.asarray(x, jnp.float32)
+        x = _as_compute(x)
         S = _normalize_S(S)
         B, T, _, N = x.shape
         if z0 is None:
             rng = jax.random.PRNGKey(0) if rng is None else rng
-            z0 = jax.random.normal(rng, (B, self.H, N))
+            z0 = jax.random.normal(rng, (B, self.H, N), x.dtype)
         return self._jit_apply(params, x, z0, S)
 
     # -- step mode (closed-loop rollouts) -----------------------------------
@@ -404,8 +414,7 @@ class AggregationGNN_DB(_TimeArchBase):
         return self.core.init(key, x, S)
 
     def split_forward(self, params, x, S):
-        return self._jit_apply(params, jnp.asarray(x, jnp.float32),
-                               _normalize_S(S))
+        return self._jit_apply(params, _as_compute(x), _normalize_S(S))
 
     # -- step mode (closed-loop rollouts) -----------------------------------
     def rollout_init(self, params, B: int, N: int, rng=None,

@@ -107,6 +107,13 @@ class Trainer:
         self.meshAxis = kwargs.get("meshAxis",
                                    self.mesh.axis_names[0]
                                    if self.mesh is not None else None)
+        # precision='bf16': mixed-precision training — master params and
+        # optimizer state stay f32, the forward/backward runs in bf16
+        # (params, batch, AND the GSO cast at the jit boundary, so the
+        # shift einsums ride the MXU's bf16 path). Loss reduces in f32.
+        # bf16's f32-sized exponent needs no loss scaling.
+        self.precision = kwargs.get("precision")
+        assert self.precision in (None, "f32", "bf16"), self.precision
         self.rng = np.random.default_rng(kwargs.get("seed", 0))
         self._key = jax.random.PRNGKey(kwargs.get("seed", 0))
         # stochastic forwards (GRNN z0 ~ N(0,1) per call) get a fresh key
@@ -138,6 +145,19 @@ class Trainer:
         yHat = self._forward(params, jnp.asarray(x, jnp.float32), aux)
         return float(self.data.evaluate(np.asarray(yHat), y))
 
+    def _mixed(self, params, *arrays):
+        """Cast params + batch pytrees to the compute precision (bf16
+        mixed precision); identity otherwise. Integer leaves (labels,
+        ELL indices) are untouched."""
+        if self.precision != "bf16":
+            return (params,) + arrays
+        cast = lambda a: (a.astype(jnp.bfloat16)
+                          if (hasattr(a, "dtype")
+                              and jnp.issubdtype(a.dtype, jnp.floating))
+                          else a)
+        return tuple(jax.tree_util.tree_map(cast, t)
+                     for t in (params,) + arrays)
+
     # -- jitted step -------------------------------------------------------
     def _build_step(self):
         loss_fn = self.model.loss
@@ -145,8 +165,9 @@ class Trainer:
 
         def step(params, opt_state, x, y, aux, key):
             def objective(p):
-                yHat = self._forward(p, x, aux, key)
-                return loss_fn(yHat, y)
+                pc, xc = self._mixed(p, x)
+                yHat = self._forward(pc, xc, aux, key)
+                return loss_fn(yHat.astype(jnp.float32), y)
             loss, grads = jax.value_and_grad(objective)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -420,10 +441,12 @@ class TrainerSingleNode(Trainer):
 
         def step(params, opt_state, x, y, node_pos, key):
             def objective(p):
-                y_all = arch.core.apply(p, x, arch.ctx)[0]  # B x dim x N
+                pc, xc = self._mixed(p, x)
+                ctx = arch._ctx_for_dtype(xc.dtype)
+                y_all = arch.core.apply(pc, xc, ctx)[0]  # B x dim x N
                 B = y_all.shape[0]
                 yHat = y_all[jnp.arange(B), :, node_pos]
-                return loss_fn(yHat, y)
+                return loss_fn(yHat.astype(jnp.float32), y)
             loss, grads = jax.value_and_grad(objective)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -527,11 +550,12 @@ class TrainerFlocking(Trainer):
 
         def step(params, opt_state, x, y, S, key):
             def objective(p):
+                pc, xc, Sc = self._mixed(p, x, S)
                 if needs_rng:
-                    yHat = arch.split_forward(p, x, S, rng=key)[0]
+                    yHat = arch.split_forward(pc, xc, Sc, rng=key)[0]
                 else:
-                    yHat = arch.split_forward(p, x, S)[0]
-                return loss_fn(yHat, y)
+                    yHat = arch.split_forward(pc, xc, Sc)[0]
+                return loss_fn(yHat.astype(jnp.float32), y)
             loss, grads = jax.value_and_grad(objective)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

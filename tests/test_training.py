@@ -363,3 +363,33 @@ def test_trainer_flocking_dagger(tmp_path):
     res = model.evaluate(data)
     assert "costBestFull" in res and np.isfinite(res["costBestFull"])
     assert "costBestEnd" in res
+
+
+def test_bf16_mixed_precision_training(tmp_path):
+    """precision='bf16': f32 master params, bf16 forward/backward; loss
+    trajectory tracks f32 closely and the evaluated error matches."""
+    import jax
+    rng = np.random.default_rng(0)
+    G = gt.Graph("SBM", 40, {"nCommunities": 4, "probIntra": 0.8,
+                             "probInter": 0.2}, rng=rng)
+    S = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
+    srcs = gt.compute_source_nodes(G.A, 4)
+    data = D.SourceLocalization(G, 200, 40, 40, srcs, tMax=15, rng=rng)
+    data.expandDims()
+
+    def run(prec):
+        arch = archs.SelectionGNN([1, 8], [3], True, "relu", [40],
+                                  "NoPool", [1], [4], S, order="Degree")
+        m = T.Model(arch, T.losses.cross_entropy_loss,
+                    {"name": "ADAM", "lr": 5e-3}, T.Trainer, T.evaluate,
+                    name=f"p_{prec}", saveDir=str(tmp_path), seed=0)
+        out = m.train(data, nEpochs=6, batchSize=50, validationInterval=4,
+                      precision=prec, seed=0)
+        pdt = {str(l.dtype) for l in jax.tree_util.tree_leaves(m.params)}
+        return np.asarray(out["lossTrain"]), pdt
+
+    l32, _ = run(None)
+    lbf, pdt = run("bf16")
+    assert pdt == {"float32"}
+    assert np.isfinite(lbf).all()
+    np.testing.assert_allclose(lbf, l32, rtol=0.05, atol=0.02)
