@@ -20,6 +20,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "roofline_pct", ...}. Run with --sweep for the {N, density, bandwidth,
 R} x {f32, bf16} x {band, bcsr} sweep (written to
 experiments/bench_sweep.json).
+
+vs_baseline definition history (keep round-over-round numbers
+comparable): BENCH_r01 (4.19x) compared the K-shift chain end-to-end
+including the final tap contraction on both paths; BENCH_r02 onward
+(5.07x) compares the per-shift SpMM alone (dense matmul t / band kernel
+t at equal f32 precision, same chip) — the tap contraction is identical
+on both paths and only diluted the kernel comparison.
+
+Measurement protocol note (r3): the axon tunnel's BLOCKED dispatch
+round-trip varies (measured 1.5 ms in r1-r2, ~25 ms in r3); every
+timing here queues `iters` dispatches and blocks once at the end
+(_bench), so round-trip latency never enters the per-shift numbers.
 """
 
 import json
@@ -292,6 +304,14 @@ def main():
         for n in (1024, 16384):
             configs.append({**base, "N": n, "dtype_name": "f32",
                             "kernel": "band"})
+        # small-N at production row counts: N=1024 is launch-cost bound
+        # at R=512 (t_shift ~= 20us fixed + 43.6 ns/row, the marginal
+        # row AT the f32 compute limit — measured r3) and reaches ~91%
+        # once R amortizes the fixed cost
+        configs.append({**base, "N": 1024, "R": 2048, "dtype_name": "f32",
+                        "kernel": "band"})
+        configs.append({**base, "N": 1024, "R": 4096, "dtype_name": "f32",
+                        "kernel": "band"})
         for bw in (128, 512):
             configs.append({**base, "bandwidth": bw, "dtype_name": "f32",
                             "kernel": "band"})

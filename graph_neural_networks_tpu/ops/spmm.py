@@ -308,6 +308,56 @@ def _bcsr_shift_bwd(n_cols, block_size, res, g):
 bcsr_shift.defvjp(_bcsr_shift_fwd, _bcsr_shift_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def bcsr_shift_rect(x, blocks, brow, bcol, blocks_t, brow_t, bcol_t,
+                    n_cols_out, n_cols_in, block_size=128):
+    """Differentiable RECTANGULAR BCSR SpMM: x (R, n_cols_in) -> y
+    (R, n_cols_out); block_row indexes x's block-columns, block_col the
+    output's. The transposed layout (for the VJP's g @ S^T, which maps
+    back to n_cols_in) is passed explicitly, as in bcsr_shift. This is
+    the shard-local contraction of the scattered-graph sharded shift
+    (parallel.shift.sharded_gshift_bcsr): each shard owns the (n_cols_in
+    x n_cols_out) column-slice of the global GSO."""
+    return bcsr_matmul(x, blocks, brow, bcol, n_cols=n_cols_out,
+                       block_size=block_size,
+                       row_tile=auto_row_tile(x.shape[0]))
+
+
+def _bcsr_shift_rect_fwd(x, blocks, brow, bcol, blocks_t, brow_t, bcol_t,
+                         n_cols_out, n_cols_in, block_size):
+    y = bcsr_matmul(x, blocks, brow, bcol, n_cols=n_cols_out,
+                    block_size=block_size,
+                    row_tile=auto_row_tile(x.shape[0]))
+    return y, (blocks_t, brow_t, bcol_t)
+
+
+def _bcsr_shift_rect_bwd(n_cols_out, n_cols_in, block_size, res, g):
+    blocks_t, brow_t, bcol_t = res
+    dx = bcsr_matmul(g, blocks_t, brow_t, bcol_t, n_cols=n_cols_in,
+                     block_size=block_size,
+                     row_tile=auto_row_tile(g.shape[0]))
+    return dx, None, None, None, None, None, None
+
+
+bcsr_shift_rect.defvjp(_bcsr_shift_rect_fwd, _bcsr_shift_rect_bwd)
+
+
+def bcsr_gather_scatter(x, blocks, brow, bcol, n_cols_out,
+                        block_size=128):
+    """Plain-JAX O(nnzb) reference for the rectangular BCSR SpMM (no
+    Pallas): gather x's block-columns by brow, per-block matmul,
+    scatter-add into output block-columns by bcol. Differentiable and
+    backend-agnostic — the CPU-mesh path of the sharded scattered
+    shift; padding blocks (zero data) contribute nothing."""
+    R, Nin = x.shape
+    bs = block_size
+    xg = x.reshape(R, Nin // bs, bs)[:, brow]          # (R, nnzb, bs)
+    contrib = jnp.einsum("rkb,kbc->rkc", xg, blocks)
+    nb_out = _cdiv(n_cols_out, bs)
+    y = jnp.zeros((R, nb_out, bs), x.dtype).at[:, bcol].add(contrib)
+    return y.reshape(R, nb_out * bs)[:, :n_cols_out]
+
+
 # ---------------------------------------------------------------------------
 # Fused K-tap band shift register
 # ---------------------------------------------------------------------------

@@ -14,9 +14,11 @@ package is new, TPU-native capability:
 from graph_neural_networks_tpu.parallel.mesh import (  # noqa: F401
     make_mesh, data_sharding, replicated)
 from graph_neural_networks_tpu.parallel.partition import (  # noqa: F401
-    partition_nodes, GraphPartition)
+    partition_nodes, partition_nodes_bcsr, GraphPartition,
+    BcsrPartition)
 from graph_neural_networks_tpu.parallel.shift import (  # noqa: F401
-    sharded_gshift_allgather, sharded_gshift_ring, make_dp_train_step)
+    sharded_gshift_allgather, sharded_gshift_ring,
+    sharded_gshift_bcsr, make_dp_train_step)
 from graph_neural_networks_tpu.parallel.sharded_gso import ShardedGso  # noqa: F401
 from graph_neural_networks_tpu.parallel.db import (  # noqa: F401
     ShardedEllGso, shard_ell)

@@ -167,7 +167,7 @@ class ShardedBandAttention:
             return jnp.concatenate([left, t, right], axis=-1)
 
         @functools.partial(
-            shard_map, mesh=self.mesh,
+            shard_map, mesh=self.mesh, check_vma=False,
             in_specs=(P(data_axis, axis), P(data_axis, axis),
                       P(data_axis, None, axis),
                       P(axis, None, None, None, None),
@@ -311,15 +311,14 @@ class ShardedBandAttention:
         local.defvjp(local_fwd, local_bwd)
 
         @functools.partial(
-            shard_map, mesh=self.mesh,
+            shard_map, mesh=self.mesh, check_vma=False,
             in_specs=(P(data_axis, axis), P(data_axis, axis),
                       P(data_axis, None, axis),
                       P(axis, None, None, None, None),
                       P(axis, None, None, None, None),
                       P(axis, None, None, None, None),
                       P(axis, None, None, None, None)),
-            out_specs=P(data_axis, None, axis),
-            check_vma=False)   # pallas_call out_shapes carry no vma info
+            out_specs=P(data_axis, None, axis))
         def _apply(a1_blk, a2_blk, v_blk, slab_blk, slabr_blk, mcol_blk,
                    mrow_blk):
             return local(a1_blk, a2_blk, v_blk, slab_blk[0], slabr_blk[0],

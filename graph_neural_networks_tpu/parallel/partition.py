@@ -196,3 +196,127 @@ def partition_nodes(S, n_parts: int, order: str = "rcm",
                           block_size=bs, order=perm, inner_bs=ibs, nbl=nbl,
                           w=w, slabs=slabs, S_csr=csrs, needs=needs,
                           bandwidth=bandwidth)
+
+
+@dataclass
+class BcsrPartition:
+    """Node partition for SCATTERED graphs (RCM bandwidth ~ N, where the
+    band slab would degenerate dense): each shard stores only the
+    nonzero (inner_bs x inner_bs) blocks of its column slice of S, plus
+    the transposed layout for gradients. Per-shard memory is
+    O(nnzb/P * inner_bs^2) — proportional to the shard's share of
+    nonzero BLOCKS, independent of the graph's bandwidth (the band
+    slab's O(N*bandwidth/P) explodes to O(N^2/P) on these graphs).
+    Shards are padded to the max per-shard block count with zero blocks
+    (brow=bcol=0: they add exact zeros). Signal exchange is one
+    all-gather of the node axis per shift (scattered columns can read
+    any row — there is no halo locality to exploit by construction).
+    SURVEY.md §2.9 "CSR/COO with edge partitioning per chip".
+    """
+    n_parts: int
+    n_orig: int
+    n_padded: int
+    block_size: int                # nodes per shard (output columns)
+    order: np.ndarray
+    inner_bs: int
+    blocks: np.ndarray             # (P, E, nnzb_max, ibs, ibs) f32
+    brow: np.ndarray               # (P, E, nnzb_max) int32, global blocks
+    bcol: np.ndarray               # (P, E, nnzb_max) int32, LOCAL blocks
+    blocks_t: np.ndarray           # transposed layout (for the VJP)
+    brow_t: np.ndarray             # (P, E, nnzbt_max) int32, LOCAL blocks
+    bcol_t: np.ndarray             # (P, E, nnzbt_max) int32, global blocks
+    nnzb: np.ndarray               # (P,) true per-shard block counts
+    S_csr: List[scipy.sparse.csr_matrix] = field(default_factory=list)
+
+    @property
+    def n_edge_features(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def shard_bytes(self) -> int:
+        """Per-shard GSO storage (fwd + transposed layouts)."""
+        per = self.blocks[0].nbytes + self.brow[0].nbytes \
+            + self.bcol[0].nbytes
+        pert = self.blocks_t[0].nbytes + self.brow_t[0].nbytes \
+            + self.bcol_t[0].nbytes
+        return per + pert
+
+    @property
+    def S_perm(self) -> np.ndarray:
+        assert self.n_padded <= _DENSE_OK_N
+        return np.stack([np.asarray(m.todense()) for m in self.S_csr])
+
+    pad_signal = GraphPartition.pad_signal
+    unpad_signal = GraphPartition.unpad_signal
+
+
+def partition_nodes_bcsr(S, n_parts: int, order: str = "none",
+                         inner_block: int = 128) -> BcsrPartition:
+    """Edge-partition a scattered GSO: per-shard BCSR of its column
+    slice. order: 'none' (default — these graphs have no band order
+    worth finding) or 'rcm'."""
+    from graph_neural_networks_tpu.ops import spmm
+    coos = _to_coo_list(S)
+    E = len(coos)
+    N = coos[0].shape[0]
+    perm = _rcm_order(coos) if order == "rcm" else np.arange(N)
+    inv = np.empty(N, dtype=np.int64)
+    inv[perm] = np.arange(N)
+
+    ibs = min(inner_block, -(-N // n_parts))
+    bs = -(-(-(-N // n_parts)) // ibs) * ibs
+    n_pad = bs * n_parts
+    nb_in = n_pad // ibs
+    nbl = bs // ibs
+
+    # per-(shard, E) BCSR of the (n_pad x bs) column slice
+    per = [[None] * E for _ in range(n_parts)]
+    pert = [[None] * E for _ in range(n_parts)]
+    csrs = []
+    for e in range(E):
+        r = inv[coos[e].row]
+        c = inv[coos[e].col]
+        v = coos[e].data.astype(np.float32)
+        csrs.append(scipy.sparse.csr_matrix((v, (r, c)),
+                                            shape=(n_pad, n_pad)))
+        for p in range(n_parts):
+            sel = (c >= p * bs) & (c < (p + 1) * bs)
+            Sp = np.zeros((n_pad, bs), np.float32)
+            Sp[r[sel], c[sel] - p * bs] = v[sel]
+            # block extraction at inner_bs granularity
+            tiles = Sp.reshape(nb_in, ibs, nbl, ibs).transpose(0, 2, 1, 3)
+            nz = np.abs(tiles).sum(axis=(2, 3)) > ZERO_TOL
+            br, bc = np.nonzero(nz)
+            o = np.lexsort((br, bc))
+            br, bc = br[o], bc[o]
+            if len(br) == 0:
+                br, bc = np.array([0]), np.array([0])
+            blk = tiles[br, bc]
+            per[p][e] = (blk.astype(np.float32), br.astype(np.int32),
+                         bc.astype(np.int32))
+            pert[p][e] = spmm.bcsr_transpose(blk, br, bc)
+
+    def pad_stack(entries, nb_pad):
+        mx = max(len(b) for b, _, _ in entries)
+        B = np.zeros((len(entries), mx, ibs, ibs), np.float32)
+        Rr = np.zeros((len(entries), mx), np.int32)
+        Cc = np.zeros((len(entries), mx), np.int32)
+        for i, (b, rr, cc) in enumerate(entries):
+            B[i, :len(b)] = b
+            Rr[i, :len(b)] = rr
+            Cc[i, :len(b)] = cc
+        return B, Rr, Cc
+
+    fw = pad_stack([per[p][e] for p in range(n_parts) for e in range(E)],
+                   nbl)
+    tw = pad_stack([pert[p][e] for p in range(n_parts) for e in range(E)],
+                   nb_in)
+    shp = lambda a: a.reshape((n_parts, E) + a.shape[1:])
+    nnzb = np.array([sum(len(per[p][e][0]) for e in range(E))
+                     for p in range(n_parts)])
+    return BcsrPartition(
+        n_parts=n_parts, n_orig=N, n_padded=n_pad, block_size=bs,
+        order=perm, inner_bs=ibs,
+        blocks=shp(fw[0]), brow=shp(fw[1]), bcol=shp(fw[2]),
+        blocks_t=shp(tw[0]), brow_t=shp(tw[1]), bcol_t=shp(tw[2]),
+        nnzb=nnzb, S_csr=csrs)

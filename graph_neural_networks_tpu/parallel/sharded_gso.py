@@ -29,15 +29,25 @@ class ShardedGso:
     axis last, already ordered/padded by ``partition.pad_signal``.
     """
 
-    def __init__(self, mesh, partition: GraphPartition, axis: str = "graph",
+    def __init__(self, mesh, partition, axis: str = "graph",
                  prefer_ring: bool = True, data_axis: str | None = None):
+        from graph_neural_networks_tpu.parallel.partition import (
+            BcsrPartition)
+        from graph_neural_networks_tpu.parallel.shift import (
+            sharded_gshift_bcsr)
         self.mesh = mesh
         self.partition = partition
         self.axis = axis
         self.data_axis = data_axis
-        self.uses_ring = prefer_ring and partition.is_ring
-        build = sharded_gshift_ring if self.uses_ring \
-            else sharded_gshift_allgather
+        if isinstance(partition, BcsrPartition):
+            # scattered graph: per-shard BCSR column slices (the band
+            # slab would degenerate dense at RCM bandwidth ~ N)
+            self.uses_ring = False
+            build = sharded_gshift_bcsr
+        else:
+            self.uses_ring = prefer_ring and partition.is_ring
+            build = sharded_gshift_ring if self.uses_ring \
+                else sharded_gshift_allgather
         self._shift = build(mesh, partition, axis)
         # hybrid data x graph variant, used when the (flattened) batch dim
         # divides the data axis (falls back to graph-only sharding e.g. for

@@ -147,7 +147,7 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
         slab_specs = (P(axis, None, None, None, None, None),)
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(data_axis, None, None, axis),) + slab_specs,
         out_specs=P(data_axis, None, None, axis))
     def _shift(x_blk, *slabs_blk):
@@ -204,7 +204,7 @@ def sharded_gshift_allgather(mesh: Mesh, part: GraphPartition,
         slab_specs = (P(axis, None, None, None, None, None),)
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(data_axis, None, None, axis),) + slab_specs,
         out_specs=P(data_axis, None, None, axis))
     def _shift(x_blk, *slabs_blk):
@@ -240,3 +240,53 @@ def make_dp_train_step(step_fn: Callable, mesh: Mesh,
         opt_state = jax.device_put(opt_state, repl)
         return jax.jit(step_fn)(params, opt_state, *batch)
     return wrapper
+
+
+def sharded_gshift_bcsr(mesh: Mesh, part, axis: str = "graph",
+                        data_axis: str | None = None) -> Callable:
+    """Sharded shift for SCATTERED graphs (parallel.partition
+    .BcsrPartition): one all-gather of the node axis, then each shard
+    contracts against the BCSR blocks of ITS column slice of S —
+    per-shard GSO memory O(nnzb/P * ibs^2), independent of the graph's
+    bandwidth (the band slab degenerates dense when the RCM bandwidth
+    ~ N; SURVEY.md §2.9 "CSR/COO with edge partitioning per chip").
+    Differentiable: the local contraction is ops.spmm.bcsr_shift_rect
+    (custom VJP via the transposed layout) on TPU with 128-tiles, or
+    the plain-JAX gather/scatter reference elsewhere; the all-gather's
+    adjoint (psum-scatter of dx) comes from autodiff of shard_map."""
+    from graph_neural_networks_tpu.ops import spmm
+    from graph_neural_networks_tpu.parallel.partition import BcsrPartition
+    assert isinstance(part, BcsrPartition), type(part)
+    n_dev = mesh.shape[axis]
+    assert n_dev == part.n_parts, (n_dev, part.n_parts)
+    bs, ibs = part.block_size, part.inner_bs
+    Np = part.n_padded
+    use_pallas = (mesh.devices.flat[0].platform == "tpu" and ibs == 128)
+    args = (jnp.asarray(part.blocks), jnp.asarray(part.brow),
+            jnp.asarray(part.bcol), jnp.asarray(part.blocks_t),
+            jnp.asarray(part.brow_t), jnp.asarray(part.bcol_t))
+    specs = tuple(P(axis, *([None] * (a.ndim - 1))) for a in args)
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(data_axis, None, None, axis),) + specs,
+        out_specs=P(data_axis, None, None, axis))
+    def _shift(x_blk, blocks, brow, bcol, blocks_t, brow_t, bcol_t):
+        # x_blk: (L, E, G, bs) -> gather the full node axis
+        x_full = jax.lax.all_gather(x_blk, axis, axis=-1, tiled=True)
+        L, E, G, _ = x_full.shape
+        outs = []
+        for e in range(E):
+            xe = x_full[:, e].reshape(L * G, Np)
+            if use_pallas:
+                ye = spmm.bcsr_shift_rect(
+                    xe, blocks[0, e], brow[0, e], bcol[0, e],
+                    blocks_t[0, e], brow_t[0, e], bcol_t[0, e],
+                    bs, Np, ibs)
+            else:
+                ye = spmm.bcsr_gather_scatter(
+                    xe, blocks[0, e], brow[0, e], bcol[0, e], bs, ibs)
+            outs.append(ye.reshape(L, G, bs))
+        return jnp.stack(outs, axis=1)
+
+    return _with_flat_leading(lambda xf: _shift(xf, *args))
