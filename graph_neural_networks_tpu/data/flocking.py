@@ -207,24 +207,9 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     import jax
     import jax.numpy as jnp
     B, _, N = pos.shape
-    H = int(table_size) if table_size is not None else \
-        max(1 << (N - 1).bit_length(), 1024)      # ~N slots, power of 2
-    assert H & (H - 1) == 0, "table_size must be a power of two"
-    k2 = H.bit_length() - 1
-    Gx = 1 << ((k2 + 1) // 2)
-    Gy = H // Gx
-    C = int(cell_cap)
-    M = 9 * C
+    H, Gx, Gy, C = _grid_geometry(N, table_size, cell_cap)
     r2 = comm_radius ** 2
     inv_r = 1.0 / comm_radius
-
-    def hash2(cx, cy):
-        # modular toroidal grid: exact (collision-free) while the swarm
-        # extent stays under Gx*comm_radius x Gy*comm_radius
-        gi = jnp.remainder(cx, Gx)
-        gj = jnp.remainder(cy, Gy)
-        return (gi + Gx * gj).astype(jnp.int32)
-
     chunk = _fit_chunk(N, 8192)   # agent-chunked window math: all big
     # intermediates are (chunk, M)-shaped — minor dim M=9C, so the
     # (8,128) tiling pads ~1.8x instead of the ~14x a (N,9,C,6) layout
@@ -233,94 +218,144 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     def one(pos_b, vel_b, v0_b):
         px, py = pos_b[0], pos_b[1]
         vx, vy = vel_b[0], vel_b[1]
-        cx = jnp.floor(px * inv_r).astype(jnp.int32)
-        cy = jnp.floor(py * inv_r).astype(jnp.int32)
-        h = hash2(cx, cy)
-        iota = jnp.arange(N, dtype=jnp.int32)
-        hs, order = jax.lax.sort_key_val(h, iota)
-        # rank of each agent within its (sorted) equal-hash run
-        flag = jnp.concatenate(
-            [jnp.ones((1,), jnp.int32),
-             (hs[1:] != hs[:-1]).astype(jnp.int32)])
-        seg_start = jax.lax.cummax(jnp.where(flag > 0, iota, 0))
-        rank = iota - seg_start
-        ok = jnp.max(rank) < C
-        slot = hs * C + jnp.minimum(rank, C - 1)
-        # table rows are FEATURE-BLOCKED: [px*C | py*C | vx*C | vy*C |
-        # valid*C | id*C] so a per-feature candidate block slices out as
-        # one contiguous (chunk, 9, C) -> (chunk, M) view
-        f = jnp.stack([px, py, vx, vy, jnp.ones_like(px),
-                       iota.astype(px.dtype)], axis=-1)
-        fs = jnp.take(f, order, axis=0)
-        table = jnp.zeros((H * C, 6), px.dtype).at[slot].set(
-            fs, mode="drop")
-        cell_rows = jnp.swapaxes(table.reshape(H, C, 6), -1, -2) \
-            .reshape(H, 6 * C)
-        offs = jnp.array([(dx, dy) for dx in (-1, 0, 1)
-                          for dy in (-1, 0, 1)], jnp.int32)
-
-        def window(lo):
-            sl = lambda z: jax.lax.dynamic_slice(z, (lo,), (chunk,))
-            pxc, pyc = sl(px), sl(py)
-            vxc, vyc = sl(vx), sl(vy)
-            cxc, cyc = sl(cx), sl(cy)
-            own = lo + jnp.arange(chunk, dtype=jnp.int32)
-            # 9 neighborhood windows (deduped when the modular map
-            # aliases two of the agent's own 9 cells — a duplicated
-            # window would double-count its candidates)
-            h9 = hash2(cxc[:, None] + offs[None, :, 0],
-                       cyc[:, None] + offs[None, :, 1])  # (chunk, 9)
-            dup = (h9[:, :, None] == h9[:, None, :])
-            first = jnp.argmax(dup, axis=-1)
-            keep = (first == jnp.arange(9)[None, :])     # (chunk, 9)
-            cand = jnp.take(cell_rows, h9.reshape(-1), axis=0) \
-                .reshape(chunk, 9, 6, C)
-            pick = lambda k: cand[:, :, k, :].reshape(chunk, M)
-            cpx, cpy, cvx, cvy = pick(0), pick(1), pick(2), pick(3)
-            valid = pick(4) * jnp.repeat(
-                keep.astype(px.dtype), C, axis=-1)
-            cid = pick(5).astype(jnp.int32)              # exact: N < 2^24
-            dpx = pxc[:, None] - cpx
-            dpy = pyc[:, None] - cpy
-            d2 = dpx ** 2 + dpy ** 2
-            m = ((valid > 0) & (d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
-                 & (cid != own[:, None]))
-            mf = m.astype(px.dtype)
-            # 6-feature states (same reductions as _jnp_states, over
-            # the 9C candidate window instead of all N)
-            dvx = vxc[:, None] - cvx
-            dvy = vyc[:, None] - cvy
-            inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
-            red = lambda z: jnp.sum(z, axis=-1)
-            st = jnp.stack(
-                [red(dvx * mf), red(dvy * mf),
-                 red(dpx * inv ** 2), red(dpy * inv ** 2),
-                 red(dpx * inv), red(dpy * inv)], axis=0)  # (6, chunk)
-            # first-d_max neighbors: rank-compare min-reduce directly
-            # over the candidates' ORIGINAL ids (one match per rank)
-            rdt = jnp.int8 if d_max < 127 else jnp.int32
-            rk = jnp.minimum(jnp.cumsum(m.astype(jnp.int32), axis=-1),
-                             d_max + 1).astype(rdt)
-            tgt = jnp.arange(1, d_max + 1, dtype=rdt)
-            candidates = jnp.where(
-                m[:, None, :] & (rk[:, None, :] == tgt[:, None]),
-                cid[:, None, :], jnp.int32(N))
-            idx = jnp.min(candidates, axis=-1)           # (chunk, d_max)
-            val = (idx < N).astype(px.dtype)
-            idx = jnp.where(idx < N, idx, 0)
-            return idx, val, st
-
-        idxs, vals, sts = jax.lax.map(
-            window, jnp.arange(N // chunk, dtype=jnp.int32) * chunk)
-        idx = idxs.reshape(N, d_max)
-        val = vals.reshape(N, d_max)
-        states = jnp.moveaxis(sts, 0, 1).reshape(6, N)
+        cell_rows, cx, cy, ok = _grid_build_table(
+            px, py, vx, vy, inv_r, H, Gx, Gy, C)
+        idx, val, states = _grid_rows_chunked(
+            px, py, vx, vy, cx, cy, 0, N, chunk, cell_rows,
+            Gx, Gy, C, r2, d_max, N)
         return idx, val, states, ok
 
     idx, val, states, ok = jax.vmap(one)(pos, vel, v_prev)
     lam, v = _ell_power_lambda(idx, val, v_prev, lam_iters)
     return (idx, val / lam[:, None, None], states, v,
             jnp.all(ok))
+
+
+def _grid_geometry(N, table_size, cell_cap):
+    """(H, Gx, Gy, C): modular-grid dims (H = Gx*Gy slots, power of 2)."""
+    H = int(table_size) if table_size is not None else \
+        max(1 << (N - 1).bit_length(), 1024)      # ~N slots, power of 2
+    assert H & (H - 1) == 0, "table_size must be a power of two"
+    k2 = H.bit_length() - 1
+    Gx = 1 << ((k2 + 1) // 2)
+    return H, Gx, H // Gx, int(cell_cap)
+
+
+def _grid_hash(cx, cy, Gx, Gy):
+    """Modular toroidal cell -> slot: exact (collision-free) while the
+    swarm extent stays under Gx*comm_radius x Gy*comm_radius."""
+    import jax.numpy as jnp
+    return (jnp.remainder(cx, Gx)
+            + Gx * jnp.remainder(cy, Gy)).astype(jnp.int32)
+
+
+def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C):
+    """Bin all N agents into the cell table. Returns (cell_rows (H, 6C),
+    cx (N,), cy (N,), ok). Table rows are FEATURE-BLOCKED: [px*C | py*C
+    | vx*C | vy*C | valid*C | id*C] so a per-feature candidate block
+    slices out as one contiguous (rows, 9, C) -> (rows, M) view."""
+    import jax
+    import jax.numpy as jnp
+    N = px.shape[0]
+    cx = jnp.floor(px * inv_r).astype(jnp.int32)
+    cy = jnp.floor(py * inv_r).astype(jnp.int32)
+    h = _grid_hash(cx, cy, Gx, Gy)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    hs, order = jax.lax.sort_key_val(h, iota)
+    # rank of each agent within its (sorted) equal-slot run
+    flag = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (hs[1:] != hs[:-1]).astype(jnp.int32)])
+    seg_start = jax.lax.cummax(jnp.where(flag > 0, iota, 0))
+    rank = iota - seg_start
+    ok = jnp.max(rank) < C
+    slot = hs * C + jnp.minimum(rank, C - 1)
+    f = jnp.stack([px, py, vx, vy, jnp.ones_like(px),
+                   iota.astype(px.dtype)], axis=-1)
+    fs = jnp.take(f, order, axis=0)
+    table = jnp.zeros((H * C, 6), px.dtype).at[slot].set(fs, mode="drop")
+    cell_rows = jnp.swapaxes(table.reshape(H, C, 6), -1, -2) \
+        .reshape(H, 6 * C)
+    return cell_rows, cx, cy, ok
+
+
+def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
+               Gx, Gy, C, r2, d_max, n_total):
+    """Neighbor extraction + 6-feature states for ONE set of rows
+    against the global cell table: (idx (rows, d_max) int32 GLOBAL ids,
+    val01 (rows, d_max), states (6, rows))."""
+    import jax.numpy as jnp
+    rows = pxc.shape[0]
+    M = 9 * C
+    offs = jnp.array([(dx, dy) for dx in (-1, 0, 1)
+                      for dy in (-1, 0, 1)], jnp.int32)
+    # 9 neighborhood windows (deduped when the modular map aliases two
+    # of the agent's own 9 cells — a duplicated window would
+    # double-count its candidates)
+    h9 = _grid_hash(cxc[:, None] + offs[None, :, 0],
+                    cyc[:, None] + offs[None, :, 1], Gx, Gy)  # (rows, 9)
+    dup = (h9[:, :, None] == h9[:, None, :])
+    first = jnp.argmax(dup, axis=-1)
+    keep = (first == jnp.arange(9)[None, :])         # (rows, 9)
+    cand = jnp.take(cell_rows, h9.reshape(-1), axis=0) \
+        .reshape(rows, 9, 6, C)
+    pick = lambda k: cand[:, :, k, :].reshape(rows, M)
+    cpx, cpy, cvx, cvy = pick(0), pick(1), pick(2), pick(3)
+    valid = pick(4) * jnp.repeat(keep.astype(pxc.dtype), C, axis=-1)
+    cid = pick(5).astype(jnp.int32)                  # exact: N < 2^24
+    dpx = pxc[:, None] - cpx
+    dpy = pyc[:, None] - cpy
+    d2 = dpx ** 2 + dpy ** 2
+    m = ((valid > 0) & (d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
+         & (cid != own_ids[:, None]))
+    mf = m.astype(pxc.dtype)
+    # 6-feature states (same reductions as _jnp_states, over the 9C
+    # candidate window instead of all N)
+    dvx = vxc[:, None] - cvx
+    dvy = vyc[:, None] - cvy
+    inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
+    red = lambda z: jnp.sum(z, axis=-1)
+    st = jnp.stack(
+        [red(dvx * mf), red(dvy * mf),
+         red(dpx * inv ** 2), red(dpy * inv ** 2),
+         red(dpx * inv), red(dpy * inv)], axis=0)    # (6, rows)
+    # first-d_max neighbors: rank-compare min-reduce directly over the
+    # candidates' ORIGINAL (global) ids (one match per rank)
+    rdt = jnp.int8 if d_max < 127 else jnp.int32
+    rk = jnp.minimum(jnp.cumsum(m.astype(jnp.int32), axis=-1),
+                     d_max + 1).astype(rdt)
+    tgt = jnp.arange(1, d_max + 1, dtype=rdt)
+    candidates = jnp.where(
+        m[:, None, :] & (rk[:, None, :] == tgt[:, None]),
+        cid[:, None, :], jnp.int32(n_total))
+    idx = jnp.min(candidates, axis=-1)               # (rows, d_max)
+    val = (idx < n_total).astype(pxc.dtype)
+    idx = jnp.where(idx < n_total, idx, 0)
+    return idx, val, st
+
+
+def _grid_rows_chunked(px, py, vx, vy, cx, cy, lo0, n_rows, chunk,
+                       cell_rows, Gx, Gy, C, r2, d_max, n_total):
+    """_grid_rows over rows [lo0, lo0+n_rows) of the (full) agent
+    arrays, in chunks (lax.map). lo0 may be traced (sharded block
+    offset). Requires n_rows % chunk == 0."""
+    import jax
+    import jax.numpy as jnp
+
+    def window(lo):
+        sl = lambda z: jax.lax.dynamic_slice(z, (lo,), (chunk,))
+        own = lo + jnp.arange(chunk, dtype=jnp.int32)
+        return _grid_rows(sl(px), sl(py), sl(vx), sl(vy),
+                          sl(cx), sl(cy), own, cell_rows,
+                          Gx, Gy, C, r2, d_max, n_total)
+
+    if n_rows == chunk:
+        idx, val, st = window(lo0)
+        return idx, val, st
+    idxs, vals, sts = jax.lax.map(
+        window, lo0 + jnp.arange(n_rows // chunk, dtype=jnp.int32) * chunk)
+    return (idxs.reshape(n_rows, d_max), vals.reshape(n_rows, d_max),
+            jnp.moveaxis(sts, 0, 1).reshape(6, n_rows))
 
 
 def _topk_blocked(scores, k: int, block: int):

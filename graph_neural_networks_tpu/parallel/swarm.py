@@ -64,14 +64,23 @@ def pad_swarm(pos, vel, mesh: Mesh, axis: str = "graph",
 
 def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
                      axis: str = "graph", v_prev=None, lam_iters: int = 8,
-                     env_chunk: Optional[int] = None):
+                     env_chunk: Optional[int] = None, env_grid=None):
     """One env step on node-sharded (B,2,N_pad) pos/vel. Returns
     (idx (B,Np·P,D) row-sharded with global column ids, val_norm
     (B,Np·P,D) row-sharded, states (B,6,N_pad) node-sharded,
     v (B,N_pad) node-sharded) — matching data.flocking's
     ``_jnp_env_step_chunked`` exactly when d_max covers the max degree.
     env_chunk sub-chunks each chip's OWN rows (workspace O(B·chunk·N)
-    per chip instead of O(B·Np·N) — the million-agent regime)."""
+    per chip instead of O(B·Np·N) — the million-agent regime).
+
+    env_grid (True or (table_size, cell_cap)): each chip builds the
+    O(N) modular cell table from the all-gathered swarm (one N-key
+    sort + scatter, replicated work ~ms) and runs the O(Np·k)
+    cell-list window math on its OWN rows only
+    (data.flocking._grid_rows) — the distributed form of
+    ``_jnp_env_step_grid``. Exactness flag folded into lambda's psum
+    path is NOT exposed here; size cell_cap with margin (the
+    single-chip step's `ok` flag validates a config)."""
     r2 = comm_radius ** 2
 
     @partial(shard_map, mesh=mesh,
@@ -88,6 +97,26 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
         cols = jnp.arange(N)
         from graph_neural_networks_tpu.data.flocking import _fit_chunk
         chunk = Np if env_chunk is None else _fit_chunk(Np, env_chunk)
+
+        if env_grid is not None:
+            from graph_neural_networks_tpu.data import flocking as F
+            gts, gcc = (None, 16) if env_grid is True else env_grid
+            H, Gx, Gy, Cc = F._grid_geometry(N, gts, gcc)
+            inv_r = 1.0 / comm_radius
+            gchunk = _fit_chunk(Np, 8192)
+
+            def one_grid(pf_b, vf_b):
+                cell_rows, cx, cy, _ok = F._grid_build_table(
+                    pf_b[0], pf_b[1], vf_b[0], vf_b[1],
+                    inv_r, H, Gx, Gy, Cc)
+                return F._grid_rows_chunked(
+                    pf_b[0], pf_b[1], vf_b[0], vf_b[1], cx, cy,
+                    lo0, Np, gchunk, cell_rows, Gx, Gy, Cc, r2,
+                    d_max, N)
+
+            idx, val01, states = jax.vmap(one_grid)(pos_full, vel_full)
+        else:
+            idx = val01 = states = None   # set by the all-pairs path
 
         def one(lo_local):
             pr = jax.lax.dynamic_slice(pos_blk, (0, 0, lo_local),
@@ -111,7 +140,9 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
                  jnp.sum(dp * inv, -1)], axis=-2)            # B,6,c
             return idx.astype(jnp.int32), val01, st
 
-        if chunk == Np:
+        if env_grid is not None:
+            pass                          # computed above
+        elif chunk == Np:
             idx, val01, states = one(0)
         else:
             idxs, vals, sts = jax.lax.map(
@@ -147,7 +178,8 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
                           dt: float, accel_max: float, d_max: int,
                           mesh: Mesh, axis: str = "graph", n_orig=None,
                           lam_iters: int = 8,
-                          env_chunk: Optional[int] = None):
+                          env_chunk: Optional[int] = None,
+                          env_grid=None):
     """Build a jitted closed-loop rollout over the mesh: the mirror of
     ``Flocking._scan_rollout(env_chunk=...)`` with every array
     node-sharded and the graph windows as ShardedEllGso. policy:
@@ -162,7 +194,7 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
     def env(pos, vel, v):
         return sharded_env_step(pos, vel, comm_radius, d_max, mesh,
                                 axis, v_prev=v, lam_iters=lam_iters,
-                                env_chunk=env_chunk)
+                                env_chunk=env_chunk, env_grid=env_grid)
 
     def rollout(params, init_pos, init_vel):
         B, _, Npad = init_pos.shape
@@ -171,7 +203,8 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
         v0 = jnp.ones((B, Npad), init_pos.dtype) / jnp.sqrt(Npad)
         i0, s0, x0, v0 = sharded_env_step(
             init_pos, init_vel, comm_radius, d_max, mesh, axis,
-            v_prev=v0, lam_iters=max(lam_iters, 32), env_chunk=env_chunk)
+            v_prev=v0, lam_iters=max(lam_iters, 32), env_chunk=env_chunk,
+            env_grid=env_grid)
         xw = jnp.zeros((B, w, 6, Npad), init_pos.dtype).at[:, -1].set(x0)
         iw = jnp.zeros((B, w, Npad, d_max), jnp.int32).at[:, -1].set(i0)
         vw = jnp.zeros((B, w, 1, Npad, d_max),

@@ -236,3 +236,43 @@ def test_sharded_ell_no_dense_at_scale(gmesh):
     y = sgso.db_shift(x)
     assert y.shape == x.shape
     assert bool(jnp.isfinite(y).all())
+
+
+def test_sharded_swarm_rollout_grid_env(gmesh):
+    """The mesh-sharded GRID env (cell-list, O(Np*k) per chip)
+    reproduces the single-device grid rollout; pads (parked far away,
+    possibly aliasing into swarm cells on the modular grid) are
+    distance-filtered and never move."""
+    from graph_neural_networks_tpu.data.flocking import Flocking
+
+    N = 10                                       # -> 2 pad agents
+    env = Flocking.for_rollout(N, commRadius=6.0, repelDist=1.0,
+                               samplingTime=0.125,
+                               rng=np.random.default_rng(1))
+    ip, iv = env.compute_initial_positions(
+        N, 2, env.commRadius, minDist=env.initMinDist,
+        geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
+
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=N, T=2)
+    policy = lambda p, xw, Sw: arch.apply(
+        p, jnp.asarray(xw, jnp.float32), Sw)
+    w = arch.causal_window
+    T = 6
+    grid = (256, 16)
+
+    pos_ref, vel_ref, *_ = env.compute_trajectory(
+        ip, iv, T * env.samplingTime, archit=arch, params=params,
+        history_window=w, ell_degree=N, env_grid=grid, lam_iters=64,
+        step_mode=False)
+
+    pos_p, vel_p, n_orig = par.pad_swarm(ip, iv, gmesh)
+    roll = par.sharded_swarm_rollout(
+        T, w, policy, env.commRadius, env.samplingTime, env.accelMax,
+        d_max=N, mesh=gmesh, n_orig=n_orig, lam_iters=64,
+        env_grid=grid)
+    pos_s, vel_s, *_ = roll(params, pos_p, vel_p)
+    np.testing.assert_allclose(np.asarray(pos_s)[..., :N], pos_ref,
+                               rtol=1e-4, atol=1e-4)
+    pp = np.asarray(pos_s)[..., n_orig:]
+    np.testing.assert_allclose(pp, np.broadcast_to(pp[:, :1], pp.shape))
