@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--trainAgents", type=int, default=None)
     ap.add_argument("--deployAgents", type=int, default=None)
     ap.add_argument("--ellDegree", type=int, default=32)
+    ap.add_argument("--envGrid", action="store_true", default=True,
+                    help="O(N*k) cell-list env step (default; round 3)")
+    ap.add_argument("--no-envGrid", dest="envGrid", action="store_false")
+    ap.add_argument("--cellCap", type=int, default=16)
     ap.add_argument("--envChunk", type=int, default=None,
                     help="row-chunk size for the O(N*deg) env step "
                          "(default: deployAgents//8, 0 disables)")
@@ -73,10 +77,11 @@ def main():
     if args.duration is not None:
         deploy_T_s = args.duration
     env_chunk = args.envChunk
-    if env_chunk is None:
+    if env_chunk is None and not args.envGrid:
         env_chunk = max(n_deploy // 8, 1)
     if env_chunk == 0:
         env_chunk = None
+    env_grid = (None, args.cellCap) if args.envGrid else None
 
     # -- 1. train (standard pipeline, or O(N*deg) end-to-end) ---------------
     print(f"== train: {n_train_agents} agents "
@@ -106,7 +111,7 @@ def main():
 
     # -- 2. deploy big: same params, env-only construction ------------------
     print(f"== deploy: {n_deploy} agents (ellDegree={args.ellDegree}, "
-          f"envChunk={env_chunk}) ==")
+          f"{'cell-list grid env' if env_grid else f'envChunk={env_chunk}'}) ==")
     env = Flocking.for_rollout(n_deploy, commRadius=2.0, repelDist=1.0,
                                samplingTime=dt,
                                rng=np.random.default_rng(args.seed + 1))
@@ -117,10 +122,12 @@ def main():
     policy = lambda p, xw, Sw: arch.apply(p, jnp.asarray(xw, jnp.float32),
                                           Sw)
     t0 = time.perf_counter()
+    # step-mode rollout: the architecture carries its own tap registers
+    # (one graph shift per layer per env step — round 3)
     pos, vel, accel, states, graphs = env.compute_trajectory(
-        ip, iv, deploy_T_s, archit=policy, params=params,
+        ip, iv, deploy_T_s, archit=arch, params=params,
         history_window=arch.causal_window, ell_degree=args.ellDegree,
-        env_chunk=env_chunk, lam_method="power")
+        env_chunk=env_chunk, env_grid=env_grid, lam_method="power")
     t_roll = time.perf_counter() - t0
     cost = float(env.evaluate(vel=vel))
     T_steps = vel.shape[1]

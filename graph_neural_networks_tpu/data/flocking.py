@@ -1213,6 +1213,16 @@ class Flocking(Data):
         RuntimeWarning is raised if one did (raise cell_cap /
         table_size).
 
+        lam_iters: warm-started power iterations for the per-step
+        lambda_max. The eigenvector carried across steps tracks the
+        slowly-moving spectrum extremely well: over a 100-step N=4096
+        rollout even lam_iters=1 matches a converged (64-iteration)
+        reference to 1e-5 relative cost and 0.03%-of-scale positions
+        (experiments/probe_lambda_fidelity.json) — at very large N the
+        power iteration is a major cost term (each matvec ~60 ms at
+        N=262k), so lam_iters=1..2 is the recommended large-swarm
+        setting; the default 8 is kept for compatibility.
+
         history_window: for causal finite-memory controllers (K-tap
         delayed filters, aggregation GNNs) pass their memory depth — the
         rollout then feeds only the last `window` steps each call
