@@ -299,10 +299,14 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     keep = (first == jnp.arange(9)[None, :])         # (rows, 9)
     cand = jnp.take(cell_rows, h9.reshape(-1), axis=0) \
         .reshape(rows, 9, 6, C)
-    pick = lambda k: cand[:, :, k, :].reshape(rows, M)
-    cpx, cpy, cvx, cvy = pick(0), pick(1), pick(2), pick(3)
-    valid = pick(4) * jnp.repeat(keep.astype(pxc.dtype), C, axis=-1)
-    cid = pick(5).astype(jnp.int32)                  # exact: N < 2^24
+    # ONE explicit transpose to feature-major (6, rows, M): per-feature
+    # slices of the raw (rows, 9, 6, C) layout tile-pad ~14x on the
+    # (6, C) minor dims and cost ~10x the whole window pass
+    # (probe round 3); after this every operand is a clean (rows, M)
+    cand = jnp.transpose(cand, (2, 0, 1, 3)).reshape(6, rows, M)
+    cpx, cpy, cvx, cvy = cand[0], cand[1], cand[2], cand[3]
+    valid = cand[4] * jnp.repeat(keep.astype(pxc.dtype), C, axis=-1)
+    cid = cand[5].astype(jnp.int32)                  # exact: N < 2^24
     dpx = pxc[:, None] - cpx
     dpy = pyc[:, None] - cpy
     d2 = dpx ** 2 + dpy ** 2
