@@ -1015,10 +1015,11 @@ class Flocking(Data):
             if ell_degree is None:
                 graphs = jnp.concatenate([S0[:, None], swap(Ss)], axis=1)
             else:
+                D0 = min(ell_degree, S0.shape[-1])  # same clamp as to_out
                 graphs = jax.tree_util.tree_map(
                     lambda a0, rest: jnp.concatenate(
                         [a0[:, None], swap(rest)], axis=1),
-                    ell_lib.ell_topk(S0[:, None], ell_degree), Ss)
+                    ell_lib.ell_topk(S0[:, None], D0), Ss)
             return pos, vel, accel, states, graphs
 
         cache[key] = jax.jit(rollout)
@@ -1241,10 +1242,9 @@ class Flocking(Data):
         has no finite causal window. Pass step_mode=False to force the
         windowed re-forward path."""
         assert archit is not None or accel is not None
-        if step_mode is None:
-            step_mode = archit is not None and hasattr(archit,
-                                                       "rollout_step")
-        step_mode = bool(step_mode and archit is not None
+        # None = auto; an explicit True still requires the capability
+        step_mode = bool((step_mode is None or step_mode)
+                         and archit is not None
                          and hasattr(archit, "rollout_step"))
         if ell_degree is None:
             ell_degree = self.rollout_ell_degree

@@ -487,6 +487,7 @@ class SelectionGNN(_ArchBase):
                 readout_kind="mlp", use_bias=cfg["bias"], edge_features=E)
         self.core = core
         self.ctx = ctx
+        self._ctx_cast = {}   # new ctx: drop per-dtype casts
         self.S = ctx["S"]
         self.N = N_list
         self._finalize((cfg["dims"][0], GSO.shape[1]))
@@ -579,6 +580,7 @@ class _SelectionVariant(_ArchBase):
             readout_kind=self.readout_kind, use_bias=cfg["bias"],
             edge_features=self.E, t_max=cfg["t_max"])
         self.ctx = ctx
+        self._ctx_cast = {}   # new ctx: drop per-dtype casts
         self.S = ctx["S"]
         self.N = N_list
         self._finalize((cfg["dims"][0], GSO.shape[1]))
@@ -912,6 +914,7 @@ class AggregationGNN(_ArchBase):
             "SN": jnp.asarray(SN, jnp.float32),
             "order_map": _identity_order_map(self.order, N),
         }
+        self._ctx_cast = {}   # new ctx: drop per-dtype casts
         self.N = n_seq
         self.core = _AggCore(
             dims=_as_tuple(dimFeatures), taps=_as_tuple(nFilterTaps),

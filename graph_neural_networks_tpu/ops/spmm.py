@@ -157,7 +157,9 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
 
     x : (R, N) dense signals (rows = flattened batch*features).
     blocks : (nnzb, bs, bs); block_row/block_col : (nnzb,) int32 sorted by col.
-    n_cols : true N (output trimmed back to it).
+    n_cols : output column count (may differ from N — S is then the
+    rectangular (N x n_cols) column slice used by the sharded scattered
+    shift; block_row indexes x's block-columns, block_col the output's).
 
     Grid = (row tiles, output block-columns), both parallel; each step
     walks its column's block segment (scalar-prefetched offsets) with
@@ -169,8 +171,10 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
     nnzb = blocks.shape[0]
     nb = _cdiv(n_cols, bs)
     Np = nb * bs
+    nb_in = _cdiv(N, bs)
+    Np_in = nb_in * bs               # x padded to ITS OWN block grid
     Rp = _cdiv(max(R, 8), row_tile) * row_tile
-    xp = jnp.zeros((Rp, Np), x.dtype).at[:R, :N].set(x)
+    xp = jnp.zeros((Rp, Np_in), x.dtype).at[:R, :N].set(x)
     # first block index of each column segment (blocks sorted by col)
     col_start = jnp.searchsorted(block_col, jnp.arange(nb + 1)) \
         .astype(jnp.int32)
@@ -198,7 +202,8 @@ def bcsr_matmul(x: jnp.ndarray, blocks: jnp.ndarray, block_row: jnp.ndarray,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Rp * nnzb * bs * bs,
-            bytes_accessed=(Rp * Np * 2 + nnzb * bs * bs) * x.dtype.itemsize,
+            bytes_accessed=(Rp * (Np + Np_in) + nnzb * bs * bs)
+            * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,

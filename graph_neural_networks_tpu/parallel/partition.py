@@ -296,21 +296,27 @@ def partition_nodes_bcsr(S, n_parts: int, order: str = "none",
                          bc.astype(np.int32))
             pert[p][e] = spmm.bcsr_transpose(blk, br, bc)
 
-    def pad_stack(entries, nb_pad):
+    def pad_stack(entries, pad_col):
+        """Pad each shard's block list to the max count with ZERO blocks
+        at (brow=0, bcol=pad_col). pad_col must be >= every real bcol so
+        the appended pads keep bcsr_matmul's sorted-by-block-column
+        precondition (its searchsorted column segments silently compute
+        wrong outputs otherwise); the zero data adds exact zeros."""
         mx = max(len(b) for b, _, _ in entries)
         B = np.zeros((len(entries), mx, ibs, ibs), np.float32)
         Rr = np.zeros((len(entries), mx), np.int32)
-        Cc = np.zeros((len(entries), mx), np.int32)
+        Cc = np.full((len(entries), mx), pad_col, np.int32)
         for i, (b, rr, cc) in enumerate(entries):
             B[i, :len(b)] = b
             Rr[i, :len(b)] = rr
             Cc[i, :len(b)] = cc
+            assert len(cc) == 0 or cc[-1] <= pad_col
         return B, Rr, Cc
 
     fw = pad_stack([per[p][e] for p in range(n_parts) for e in range(E)],
-                   nbl)
+                   nbl - 1)
     tw = pad_stack([pert[p][e] for p in range(n_parts) for e in range(E)],
-                   nb_in)
+                   nb_in - 1)
     shp = lambda a: a.reshape((n_parts, E) + a.shape[1:])
     nnzb = np.array([sum(len(per[p][e][0]) for e in range(E))
                      for p in range(n_parts)])

@@ -78,16 +78,18 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
     sort + scatter, replicated work ~ms) and runs the O(Np·k)
     cell-list window math on its OWN rows only
     (data.flocking._grid_rows) — the distributed form of
-    ``_jnp_env_step_grid``. Exactness flag folded into lambda's psum
-    path is NOT exposed here; size cell_cap with margin (the
-    single-chip step's `ok` flag validates a config)."""
+    ``_jnp_env_step_grid``.
+
+    Returns a 5th element ``ok``: False iff some cell overflowed
+    cell_cap this step (grid mode; all-pairs always True) — the same
+    exactness contract as the single-chip step."""
     r2 = comm_radius ** 2
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, None, axis), P(None, None, axis),
                        P(None, axis)),
              out_specs=(P(None, axis, None), P(None, axis, None),
-                        P(None, None, axis), P(None, axis)))
+                        P(None, None, axis), P(None, axis), P()))
     def _step(pos_blk, vel_blk, v_blk):
         B, _, Np = pos_blk.shape
         pos_full = jax.lax.all_gather(pos_blk, axis, axis=2, tiled=True)
@@ -106,17 +108,23 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
             gchunk = _fit_chunk(Np, 8192)
 
             def one_grid(pf_b, vf_b):
-                cell_rows, cx, cy, _ok = F._grid_build_table(
+                cell_rows, cx, cy, ok_b = F._grid_build_table(
                     pf_b[0], pf_b[1], vf_b[0], vf_b[1],
                     inv_r, H, Gx, Gy, Cc)
-                return F._grid_rows_chunked(
+                i_, v_, s_ = F._grid_rows_chunked(
                     pf_b[0], pf_b[1], vf_b[0], vf_b[1], cx, cy,
                     lo0, Np, gchunk, cell_rows, Gx, Gy, Cc, r2,
                     d_max, N)
+                return i_, v_, s_, ok_b
 
-            idx, val01, states = jax.vmap(one_grid)(pos_full, vel_full)
+            idx, val01, states, oks = jax.vmap(one_grid)(pos_full,
+                                                         vel_full)
+            # every chip built the same table from the gathered swarm;
+            # psum-min makes the flag a legal replicated output
+            ok = jax.lax.psum(jnp.all(oks).astype(jnp.int32), axis)                 == jax.lax.axis_size(axis)
         else:
             idx = val01 = states = None   # set by the all-pairs path
+            ok = None
 
         def one(lo_local):
             pr = jax.lax.dynamic_slice(pos_blk, (0, 0, lo_local),
@@ -166,7 +174,10 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
         vb = jax.lax.fori_loop(0, lam_iters, body, v_blk)
         lam = jax.lax.psum(jnp.einsum("bn,bn->b", vb, mv(vb)), axis)
         lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
-        return idx, val01 / lam[:, None, None], states, vb
+        if ok is None:
+            ok = jax.lax.psum(jnp.int32(1), axis) \
+                == jax.lax.axis_size(axis)      # all-pairs: always exact
+        return idx, val01 / lam[:, None, None], states, vb, ok
 
     if v_prev is None:
         B, _, Npad = pos.shape
@@ -201,7 +212,7 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
         mask = (jnp.arange(Npad) < (Npad if n_orig is None else n_orig))
         mask = mask.astype(init_pos.dtype)[None, None]        # 1,1,Npad
         v0 = jnp.ones((B, Npad), init_pos.dtype) / jnp.sqrt(Npad)
-        i0, s0, x0, v0 = sharded_env_step(
+        i0, s0, x0, v0, ok0 = sharded_env_step(
             init_pos, init_vel, comm_radius, d_max, mesh, axis,
             v_prev=v0, lam_iters=max(lam_iters, 32), env_chunk=env_chunk,
             env_grid=env_grid)
@@ -211,22 +222,23 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
                        init_pos.dtype).at[:, -1].set(s0[:, None])
 
         def step(carry, _):
-            pos_t, vel_t, xw, iw, vw, v = carry
+            pos_t, vel_t, xw, iw, vw, v, ok = carry
             S_hist = ShardedEllGso(iw, vw, mesh, axis, n_orig=Npad)
             y = policy(params, xw, S_hist)
             a = jnp.clip(y[:, -1], -accel_max, accel_max) * mask
             vel_n = a * dt + vel_t
             pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
-            i_n, s_n, x_n, v = env(pos_n, vel_n, v)
+            i_n, s_n, x_n, v, ok_n = env(pos_n, vel_n, v)
             xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
             iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)
             vw = jnp.concatenate([vw[:, 1:], s_n[:, None, None]], axis=1)
-            return ((pos_n, vel_n, xw, iw, vw, v),
+            return ((pos_n, vel_n, xw, iw, vw, v,
+                     jnp.logical_and(ok, ok_n)),
                     (pos_n, vel_n, a, x_n, (i_n, s_n)))
 
-        carry = (init_pos, init_vel, xw, iw, vw, v0)
-        _, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
-                                                  length=T - 1)
+        carry = (init_pos, init_vel, xw, iw, vw, v0, ok0)
+        carry, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
+                                                      length=T - 1)
         swap = lambda z: jnp.moveaxis(z, 0, 1)
         pos = jnp.concatenate([init_pos[:, None], swap(pos)], axis=1)
         vel = jnp.concatenate([init_vel[:, None], swap(vel)], axis=1)
@@ -237,6 +249,9 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
         gv = jnp.concatenate([s0[:, None], swap(Ss[1])], axis=1)
         graphs = ShardedEllGso(gi, gv[:, :, None], mesh, axis,
                                n_orig=Npad)
-        return pos, vel, accel, states, graphs
+        out = (pos, vel, accel, states, graphs)
+        if env_grid is not None:
+            out = out + (carry[-1],)   # exactness flag (grid env)
+        return out
 
     return jax.jit(rollout)

@@ -310,3 +310,97 @@ def test_gso_keep_dense_false():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
     with pytest.raises(AssertionError, match="keep_dense"):
         gso_lib.dense(g)
+
+
+def test_bcsr_matmul_rectangular():
+    """Rectangular BCSR (N_in != n_cols): the sharded scattered shift's
+    per-shard column-slice contraction (regression: xp was padded to the
+    OUTPUT width and crashed for any n_cols_in > n_cols_out)."""
+    rng = np.random.default_rng(3)
+    bs, nb_in, nb_out = 32, 8, 2
+    Nin, Nout = nb_in * bs, nb_out * bs
+    S = np.zeros((Nin, Nout), np.float32)
+    for _ in range(6):
+        bi, bj = rng.integers(0, nb_in), rng.integers(0, nb_out)
+        S[bi*bs:(bi+1)*bs, bj*bs:(bj+1)*bs] = rng.random((bs, bs))
+    tiles = S.reshape(nb_in, bs, nb_out, bs).transpose(0, 2, 1, 3)
+    nz = np.abs(tiles).sum(axis=(2, 3)) > 0
+    br, bc = np.nonzero(nz)
+    o = np.lexsort((br, bc))
+    blocks, br, bc = tiles[br[o], bc[o]], br[o], bc[o]
+    x = rng.standard_normal((16, Nin)).astype(np.float32)
+    got = spmm.bcsr_matmul(jnp.asarray(x), jnp.asarray(blocks),
+                           jnp.asarray(br, jnp.int32),
+                           jnp.asarray(bc, jnp.int32),
+                           n_cols=Nout, block_size=bs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), x @ S, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_bcsr_matmul_trailing_zero_pads_sorted():
+    """Padding blocks appended with bcol = LAST column keep the
+    sorted-by-col precondition; the Pallas kernel must produce the same
+    result as without pads (regression: bcol=0 pads at the END broke
+    searchsorted's column segments and silently corrupted outputs)."""
+    rng = np.random.default_rng(4)
+    bs, nb = 32, 4
+    N = nb * bs
+    S = np.zeros((N, N), np.float32)
+    for bi, bj in [(0, 0), (3, 2), (1, 2)]:
+        S[bi*bs:(bi+1)*bs, bj*bs:(bj+1)*bs] = rng.random((bs, bs))
+    blocks, br, bc = spmm.dense_to_bcsr(S, bs)
+    # pad the way partition_nodes_bcsr does: zero blocks at the last col
+    pad = 3
+    blocks_p = np.concatenate([blocks, np.zeros((pad, bs, bs),
+                                                np.float32)])
+    br_p = np.concatenate([br, np.zeros(pad, np.int32)])
+    bc_p = np.concatenate([bc, np.full(pad, nb - 1, np.int32)])
+    x = rng.standard_normal((16, N)).astype(np.float32)
+    y0 = spmm.bcsr_matmul(jnp.asarray(x), jnp.asarray(blocks),
+                          jnp.asarray(br), jnp.asarray(bc),
+                          n_cols=N, block_size=bs, interpret=True)
+    y1 = spmm.bcsr_matmul(jnp.asarray(x), jnp.asarray(blocks_p),
+                          jnp.asarray(br_p), jnp.asarray(bc_p),
+                          n_cols=N, block_size=bs, interpret=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y0), x @ S, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_bcsr_shift_rect_pallas_matches_partition():
+    """bcsr_shift_rect (interpret) on REAL BcsrPartition shards
+    (n_parts=4, padded block lists) == the dense column slice — the
+    exact per-chip program of sharded_gshift_bcsr's TPU path."""
+    from graph_neural_networks_tpu import parallel as par
+    rng = np.random.default_rng(5)
+    N, ibs, P_ = 256, 32, 4
+    S = np.zeros((N, N), np.float32)
+    nb = N // ibs
+    for _ in range(10):
+        bi, bj = rng.integers(0, nb, 2)
+        S[bi*ibs:(bi+1)*ibs, bj*ibs:(bj+1)*ibs] += rng.random((ibs, ibs))
+    part = par.partition_nodes_bcsr(S, P_, inner_block=ibs)
+    assert int(part.nnzb.max()) != int(part.nnzb.min()), \
+        "want uneven shards so padding blocks actually appear"
+    x = rng.standard_normal((8, part.n_padded)).astype(np.float32)
+    Sd = part.S_perm[0]
+    for p in range(P_):
+        lo = p * part.block_size
+        y = spmm.bcsr_matmul(
+            jnp.asarray(x), jnp.asarray(part.blocks[p, 0]),
+            jnp.asarray(part.brow[p, 0]), jnp.asarray(part.bcol[p, 0]),
+            n_cols=part.block_size, block_size=ibs, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y), x @ Sd[:, lo:lo + part.block_size],
+            rtol=1e-4, atol=1e-5)
+        # and the transposed layout (the VJP's g @ S^T)
+        g = rng.standard_normal((8, part.block_size)).astype(np.float32)
+        dx = spmm.bcsr_matmul(
+            jnp.asarray(g), jnp.asarray(part.blocks_t[p, 0]),
+            jnp.asarray(part.brow_t[p, 0]),
+            jnp.asarray(part.bcol_t[p, 0]),
+            n_cols=part.n_padded, block_size=ibs, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(dx), g @ Sd[:, lo:lo + part.block_size].T,
+            rtol=1e-4, atol=1e-5)

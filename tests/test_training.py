@@ -393,3 +393,28 @@ def test_bf16_mixed_precision_training(tmp_path):
     assert pdt == {"float32"}
     assert np.isfinite(lbf).all()
     np.testing.assert_allclose(lbf, l32, rtol=0.05, atol=0.02)
+
+
+def test_bf16_ctx_cast_invalidated_by_changeGSO(G):
+    """changeGSO must drop the per-dtype GSO cast memo: a bf16 forward
+    after changeGSO has to see the NEW graph (regression: the stale
+    bf16 ctx made post-changeGSO bf16 forwards compute on the old S)."""
+    import jax
+    rng = np.random.default_rng(0)
+    S1 = G.W / np.max(np.abs(np.linalg.eigvalsh(G.W)))
+    G2 = gt.Graph("SBM", S1.shape[0], {"nCommunities": 2,
+                                       "probIntra": 0.9,
+                                       "probInter": 0.1},
+                  rng=np.random.default_rng(9))
+    S2 = G2.W / np.max(np.abs(np.linalg.eigvalsh(G2.W)))
+    N = S1.shape[0]
+    arch = archs.SelectionGNN([1, 8], [3], True, "relu", [N], "NoPool",
+                              [1], [3], S1)
+    params = arch.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((4, 1, N)), jnp.bfloat16)
+    y1 = np.asarray(arch(params, x), np.float32)
+    arch.changeGSO(S2)
+    y2 = np.asarray(arch(params, x), np.float32)
+    y2_f32 = np.asarray(arch(params, x.astype(jnp.float32)))
+    assert np.abs(y2 - y1).max() > 1e-4, "bf16 forward ignored changeGSO"
+    np.testing.assert_allclose(y2, y2_f32, rtol=0.1, atol=0.05)
