@@ -365,9 +365,11 @@ def _grid_rows_chunked(px, py, vx, vy, cx, cy, lo0, n_rows, chunk,
 def _topk_blocked(scores, k: int, block: int):
     """Exact top-k along the last axis in two stages: per-block top-k,
     then top-k over the nb·k candidates. Any global top-k element is in
-    its own block's top-k (k <= block), so this is exact — it exists to
-    avoid single-stage sorts over huge lane counts (suspected TPU device
-    fault at 65536-wide top_k). Requires N % block == 0."""
+    its own block's top-k (k <= block), so this is exact. NOTE: no
+    longer on any env path — the rank-compare min-reduce (_env_topk)
+    replaced all env uses in round 3; kept as the general-scores
+    (non-binary) exact top-k utility for huge lane counts (the round-2
+    65536-wide top_k device fault). Requires N % block == 0."""
     import jax
     import jax.numpy as jnp
     *L, N = scores.shape

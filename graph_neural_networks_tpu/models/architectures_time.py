@@ -59,34 +59,10 @@ def _as_compute(x):
 # Replaces: reference computeTrajectory's full re-forward per step
 # (dataTools.py:3166-3340 calling architecturesTime.py:205).
 
-def _step_shift_rows(r, S_t):
-    """One node-major graph shift of r (B,N,E,C) by a per-step GSO:
-    ops.ell.EllGso with leading (B,), or dense (B,N,N)/(B,E,N,N)."""
-    if isinstance(S_t, filters.ell_lib.EllGso):
-        return S_t.db_shift_rows(r)
-    S = jnp.asarray(S_t, jnp.float32)
-    if S.ndim == 3:
-        S = S[:, None]
-    return jnp.einsum("bnec,benm->bmec", r, S)
-
-
-def _tap_register_step(w, b, reg, x_nm, S_t):
-    """One causal step of a delayed graph filter (ops.filters.lsigf_db)
-    on the node-major tap register. w: (F,E,K,G); reg: (B,N,E,K-1,G)
-    holding z_{0..K-2}(t-1); x_nm: (B,N,G). Returns (reg', y (B,N,F))."""
-    F, E, K, G = w.shape
-    B, N, _ = x_nm.shape
-    x0 = jnp.broadcast_to(x_nm[:, :, None, None], (B, N, E, 1, G))
-    if K > 1:
-        r = reg.reshape(B, N, E, (K - 1) * G)
-        shifted = _step_shift_rows(r, S_t).reshape(B, N, E, K - 1, G)
-        stack = jnp.concatenate([x0, shifted], axis=-2)
-    else:
-        stack = x0
-    y = jnp.einsum("bnekg,fekg->bnf", stack, w)
-    if b is not None:
-        y = y + jnp.reshape(b, (-1,))
-    return stack[..., : K - 1, :], y
+# the register recurrence itself lives in ops.filters (shared with the
+# scan formulation of lsigf_db, so the two implementations cannot drift)
+_step_shift_rows = filters.step_shift_rows
+_tap_register_step = filters.tap_register_step
 
 
 def _readout_apply(p, z, sigma):

@@ -325,6 +325,42 @@ def db_graph_shift(xe: jnp.ndarray, S) -> jnp.ndarray:
     return jnp.einsum("btegn,btenm->btegm", xe, S)
 
 
+def step_shift_rows(r, S_t):
+    """One node-major graph shift of r (B,N,E,C) by a per-step GSO:
+    ops.ell.EllGso with leading (B,), or dense (B,N,N)/(B,E,N,N)."""
+    if isinstance(S_t, ell_lib.EllGso):
+        return S_t.db_shift_rows(r)
+    S = jnp.asarray(S_t)
+    if S.ndim == 3:
+        S = S[:, None]
+    return jnp.einsum("bnec,benm->bmec", r, S.astype(r.dtype))
+
+
+def tap_register_step(w, b, reg, x_nm, S_t):
+    """One causal step of a delayed graph filter (lsigf_db) on the
+    node-major tap register — THE recurrence z_k(t) = S(t)·z_{k-1}(t-1)
+    that defines the DB family, shared by the scan formulation below
+    and the architectures' rollout_step closed-loop interface
+    (architectures_time) so the two can never drift apart.
+
+    w: (F,E,K,G); reg: (B,N,E,K-1,G) holding z_{0..K-2}(t-1); x_nm:
+    (B,N,G); S_t: EllGso with leading (B,) or dense (B,[E,]N,N).
+    Returns (reg' (B,N,E,K-1,G), y (B,N,F))."""
+    F, E, K, G = w.shape
+    B, N, _ = x_nm.shape
+    x0 = jnp.broadcast_to(x_nm[:, :, None, None], (B, N, E, 1, G))
+    if K > 1:
+        r = reg.reshape(B, N, E, (K - 1) * G)
+        shifted = step_shift_rows(r, S_t).reshape(B, N, E, K - 1, G)
+        stack = jnp.concatenate([x0, shifted], axis=-2)
+    else:
+        stack = x0
+    y = jnp.einsum("bnekg,fekg->bnf", stack, w)
+    if b is not None:
+        y = y + jnp.reshape(b, (-1,))
+    return stack[..., : K - 1, :], y
+
+
 def _lsigf_db_ell_rows(h, S, x, b=None):
     """ELL lsigf_db in the node-major layout: x (B,T,G,N) -> y (B,T,N,F).
 
@@ -342,24 +378,13 @@ def _lsigf_db_ell_rows(h, S, x, b=None):
     B, T, _, N = x.shape
     xr = jnp.swapaxes(x, -1, -2)                       # B x T x N x G
 
-    if K == 1:
-        stack = jnp.broadcast_to(xr[:, :, :, None, None, :],
-                                 (B, T, N, 1, E, G))
-        y = jnp.einsum("btnkeg,fekg->btnf", stack, h)
-        return y if b is None else y + jnp.reshape(b, (-1,))
-
     def step(reg, inp):
-        # reg: (B, N, E, (K-1), G) holds z_{0..K-2}(t-1)
         x_t, S_t = inp                                 # (B,N,G), ell (B,)
-        r = reg.reshape(B, N, E, (K - 1) * G)
-        shifted = S_t.db_shift_rows(r)                 # z_{1..K-1}(t)
-        shifted = shifted.reshape(B, N, E, K - 1, G)
-        x0 = jnp.broadcast_to(x_t[:, :, None, None], (B, N, E, 1, G))
-        stack = jnp.concatenate([x0, shifted], axis=-2)  # (B,N,E,K,G)
-        y_t = jnp.einsum("bnekg,fekg->bnf", stack, h)
-        return stack[..., : K - 1, :], y_t
+        return tap_register_step(h, None, reg, x_t, S_t)
 
-    reg0 = jnp.zeros((B, N, E, K - 1, G), x.dtype)
+    reg0 = jnp.zeros((B, N, E, max(K - 1, 1), G), x.dtype)
+    if K == 1:
+        reg0 = reg0[..., :0, :]
     xs = (jnp.moveaxis(xr, 1, 0),
           jax.tree_util.tree_map(lambda s: jnp.moveaxis(s, 1, 0), S))
     _, ys = jax.lax.scan(step, reg0, xs)               # (T, B, N, F)
