@@ -210,10 +210,15 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     H, Gx, Gy, C = _grid_geometry(N, table_size, cell_cap)
     r2 = comm_radius ** 2
     inv_r = 1.0 / comm_radius
-    chunk = _fit_chunk(N, 8192)   # agent-chunked window math: all big
-    # intermediates are (chunk, M)-shaped — minor dim M=9C, so the
-    # (8,128) tiling pads ~1.8x instead of the ~14x a (N,9,C,6) layout
-    # costs (a full-N layout at 262k OOM'd the chip purely on padding)
+    # agent-chunked window math: all big intermediates are (chunk, M)-
+    # shaped — minor dim M=9C, so the (8,128) tiling pads ~1.8x instead
+    # of the ~14x a (N,9,C,6) layout costs (a full-N layout at 262k
+    # OOM'd the chip purely on padding). With the fused Pallas window
+    # kernel the per-chunk XLA arrays are just the gather output and
+    # the kernel result, so chunks are much larger — small per-chunk
+    # kernel outputs inside lax.map get scope-allocated in VMEM by XLA
+    # and OOM its 16 MB scoped limit.
+    chunk = _fit_chunk(N, 65536 if _gridwin_enabled() else 8192)
 
     def one(pos_b, vel_b, v0_b):
         px, py = pos_b[0], pos_b[1]
@@ -279,11 +284,32 @@ def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C):
     return cell_rows, cx, cy, ok
 
 
+def _gridwin_enabled() -> bool:
+    """Opt-in (GNT_GRIDWIN=1, TPU only): the fused Pallas window kernel
+    (ops.gridwin). Measured a WASH vs the tuned XLA path at N=262k
+    (312.6 vs 310.8 ms lam2): the kernel removes the feature-major
+    transpose + mask math, but packing its single 128-lane operand and
+    un-interleaving its output costs the same ~90 ms the transpose did
+    — the binding term in both paths is now the shared tail (min-reduce
+    + (rows, M) relayouts). Kept as the starting point for a future
+    kernel that also folds in the rank/min-reduce; exact parity is
+    tested either way."""
+    import os
+    import jax
+    return (jax.default_backend() == "tpu"
+            and bool(os.environ.get("GNT_GRIDWIN")))
+
+
 def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
-               Gx, Gy, C, r2, d_max, n_total):
+               Gx, Gy, C, r2, d_max, n_total, use_kernel=None):
     """Neighbor extraction + 6-feature states for ONE set of rows
     against the global cell table: (idx (rows, d_max) int32 GLOBAL ids,
-    val01 (rows, d_max), states (6, rows))."""
+    val01 (rows, d_max), states (6, rows)).
+
+    On TPU the post-gather window math runs in the fused Pallas kernel
+    (ops.gridwin) — the pure-XLA formulation pays ~10x the useful work
+    in tile-padding relayouts (round-3 probes); set GNT_NO_GRIDWIN=1 to
+    force the XLA path (CPU always uses it)."""
     import jax.numpy as jnp
     rows = pxc.shape[0]
     M = 9 * C
@@ -297,32 +323,63 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     dup = (h9[:, :, None] == h9[:, None, :])
     first = jnp.argmax(dup, axis=-1)
     keep = (first == jnp.arange(9)[None, :])         # (rows, 9)
-    cand = jnp.take(cell_rows, h9.reshape(-1), axis=0) \
-        .reshape(rows, 9, 6, C)
-    # ONE explicit transpose to feature-major (6, rows, M): per-feature
-    # slices of the raw (rows, 9, 6, C) layout tile-pad ~14x on the
-    # (6, C) minor dims and cost ~10x the whole window pass
-    # (probe round 3); after this every operand is a clean (rows, M)
-    cand = jnp.transpose(cand, (2, 0, 1, 3)).reshape(6, rows, M)
-    cpx, cpy, cvx, cvy = cand[0], cand[1], cand[2], cand[3]
-    valid = cand[4] * jnp.repeat(keep.astype(pxc.dtype), C, axis=-1)
-    cid = cand[5].astype(jnp.int32)                  # exact: N < 2^24
-    dpx = pxc[:, None] - cpx
-    dpy = pyc[:, None] - cpy
-    d2 = dpx ** 2 + dpy ** 2
-    m = ((valid > 0) & (d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
-         & (cid != own_ids[:, None]))
-    mf = m.astype(pxc.dtype)
-    # 6-feature states (same reductions as _jnp_states, over the 9C
-    # candidate window instead of all N)
-    dvx = vxc[:, None] - cvx
-    dvy = vyc[:, None] - cvy
-    inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
-    red = lambda z: jnp.sum(z, axis=-1)
-    st = jnp.stack(
-        [red(dvx * mf), red(dvy * mf),
-         red(dpx * inv ** 2), red(dpy * inv ** 2),
-         red(dpx * inv), red(dpy * inv)], axis=0)    # (6, rows)
+    cand_flat = jnp.take(cell_rows, h9.reshape(-1), axis=0)  # (rows*9,6C)
+
+    if use_kernel is None:
+        use_kernel = _gridwin_enabled()
+    if use_kernel:
+        from graph_neural_networks_tpu.ops import gridwin
+        A = rows * 9
+        own = jnp.stack([pxc, pyc, vxc, vyc,
+                         own_ids.astype(pxc.dtype)], axis=-1)
+        own = jnp.broadcast_to(own[:, None, :], (rows, 9, 5)) \
+            .reshape(A, 5)
+        keep_a = keep.astype(pxc.dtype).reshape(A, 1)
+        packed = jnp.concatenate(
+            [cand_flat, own, keep_a,
+             jnp.zeros((A, 128 - 6 * C - 6), pxc.dtype)], axis=1)
+        rt = A if A <= 1152 else 9 * _fit_chunk(rows, 128)
+        mcid, stp = gridwin.grid_window_math(packed, C=C, r2=r2,
+                                             row_tile=rt)
+        # 9-window partial-state sum on a flat-lane layout (no (9, 8)
+        # minor dims: those tile-pad 14x)
+        st72 = stp.reshape(rows, 72)
+        st8 = sum(st72[:, 8 * w:8 * (w + 1)] for w in range(9))
+        st = jnp.swapaxes(st8[:, :6], 0, 1)          # (6, rows)
+        mc = mcid.reshape(rows, 9 * 2 * C)
+        mf = jnp.concatenate(
+            [mc[:, 2 * C * w:2 * C * w + C] for w in range(9)], axis=1)
+        cidm = jnp.concatenate(
+            [mc[:, 2 * C * w + C:2 * C * (w + 1)] for w in range(9)],
+            axis=1).astype(jnp.int32)                # masked id or 2^24
+        m = mf > 0
+        cid_fill = jnp.where(m, cidm, jnp.int32(n_total))
+    else:
+        cand = cand_flat.reshape(rows, 9, 6, C)
+        # ONE explicit transpose to feature-major (6, rows, M):
+        # per-feature slices of the raw (rows, 9, 6, C) layout tile-pad
+        # ~14x on the (6, C) minor dims (probe round 3)
+        cand = jnp.transpose(cand, (2, 0, 1, 3)).reshape(6, rows, M)
+        cpx, cpy, cvx, cvy = cand[0], cand[1], cand[2], cand[3]
+        valid = cand[4] * jnp.repeat(keep.astype(pxc.dtype), C, axis=-1)
+        cid = cand[5].astype(jnp.int32)              # exact: N < 2^24
+        dpx = pxc[:, None] - cpx
+        dpy = pyc[:, None] - cpy
+        d2 = dpx ** 2 + dpy ** 2
+        m = ((valid > 0) & (d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
+             & (cid != own_ids[:, None]))
+        mf = m.astype(pxc.dtype)
+        # 6-feature states (same reductions as _jnp_states, over the
+        # 9C candidate window instead of all N)
+        dvx = vxc[:, None] - cvx
+        dvy = vyc[:, None] - cvy
+        inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
+        red = lambda z: jnp.sum(z, axis=-1)
+        st = jnp.stack(
+            [red(dvx * mf), red(dvy * mf),
+             red(dpx * inv ** 2), red(dpy * inv ** 2),
+             red(dpx * inv), red(dpy * inv)], axis=0)  # (6, rows)
+        cid_fill = jnp.where(m, cid, jnp.int32(n_total))
     # first-d_max neighbors: rank-compare min-reduce directly over the
     # candidates' ORIGINAL (global) ids (one match per rank)
     rdt = jnp.int8 if d_max < 127 else jnp.int32
@@ -331,7 +388,7 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     tgt = jnp.arange(1, d_max + 1, dtype=rdt)
     candidates = jnp.where(
         m[:, None, :] & (rk[:, None, :] == tgt[:, None]),
-        cid[:, None, :], jnp.int32(n_total))
+        cid_fill[:, None, :], jnp.int32(n_total))
     idx = jnp.min(candidates, axis=-1)               # (rows, d_max)
     val = (idx < n_total).astype(pxc.dtype)
     idx = jnp.where(idx < n_total, idx, 0)
