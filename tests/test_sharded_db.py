@@ -271,7 +271,9 @@ def test_sharded_swarm_rollout_grid_env(gmesh):
         T, w, policy, env.commRadius, env.samplingTime, env.accelMax,
         d_max=N, mesh=gmesh, n_orig=n_orig, lam_iters=64,
         env_grid=grid)
-    pos_s, vel_s, *_ = roll(params, pos_p, vel_p)
+    out = roll(params, pos_p, vel_p)
+    pos_s, vel_s = out[0], out[1]
+    assert bool(out[-1]), "grid-env exactness flag tripped"
     np.testing.assert_allclose(np.asarray(pos_s)[..., :N], pos_ref,
                                rtol=1e-4, atol=1e-4)
     pp = np.asarray(pos_s)[..., n_orig:]
