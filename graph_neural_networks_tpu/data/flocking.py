@@ -262,6 +262,11 @@ def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C):
     import jax
     import jax.numpy as jnp
     N = px.shape[0]
+    # ids travel through the float table: exact only below the f32
+    # integer limit (also the window kernel's invalid-id sentinel)
+    assert N < 2 ** 24, \
+        f"grid env stores agent ids in float32 cells; N={N} >= 2^24 " \
+        "would silently corrupt neighbor ids"
     cx = jnp.floor(px * inv_r).astype(jnp.int32)
     cy = jnp.floor(py * inv_r).astype(jnp.int32)
     h = _grid_hash(cx, cy, Gx, Gy)
@@ -327,6 +332,10 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
 
     if use_kernel is None:
         use_kernel = _gridwin_enabled()
+    if use_kernel and 6 * C + 6 > 128:
+        # the packed kernel operand holds 6C candidate lanes + 6 own
+        # lanes in one 128-lane row: cell_cap > 20 cannot use it
+        use_kernel = False
     if use_kernel:
         from graph_neural_networks_tpu.ops import gridwin
         A = rows * 9
@@ -1264,7 +1273,7 @@ class Flocking(Data):
                            history_window=None, jit=True, ell_degree=None,
                            lam_method: str = "eig", env_chunk=None,
                            lam_iters: int = 8, seg=None, step_mode=None,
-                           env_grid=None):
+                           env_grid=None, env_grid_strict: bool = False):
         """Roll the swarm forward. Either apply a given open-loop `accel`
         sequence, or run `archit` (params, x_hist, S_hist) -> accel closed
         loop: at each step the model sees the (zero-padded) history and its
@@ -1275,7 +1284,10 @@ class Flocking(Data):
         very large swarms (``_jnp_env_step_grid``). Exact vs the
         all-pairs env whenever no hash cell overflows cell_cap; a
         RuntimeWarning is raised if one did (raise cell_cap /
-        table_size).
+        table_size). env_grid_strict=True upgrades that warning to a
+        RuntimeError — use it in long training/eval runs where a
+        filtered warning would let incomplete neighbor sets pass
+        silently (the sharded API instead returns the raw ok flag).
 
         lam_iters: warm-started power iterations for the per-step
         lambda_max. The eigenvector carried across steps tracks the
@@ -1351,12 +1363,13 @@ class Flocking(Data):
                     return out
                 *out, ok = out
                 if not bool(np.asarray(ok)):
+                    msg = ("grid env: a hash cell overflowed cell_cap "
+                           "during the rollout — neighbor sets may be "
+                           "incomplete; raise cell_cap or table_size")
+                    if env_grid_strict:
+                        raise RuntimeError(msg)
                     import warnings
-                    warnings.warn(
-                        "grid env: a hash cell overflowed cell_cap "
-                        "during the rollout — neighbor sets may be "
-                        "incomplete; raise cell_cap or table_size",
-                        RuntimeWarning)
+                    warnings.warn(msg, RuntimeWarning)
                 return tuple(out)
 
             if seg is not None:

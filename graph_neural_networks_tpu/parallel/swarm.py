@@ -121,7 +121,8 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
                                                          vel_full)
             # every chip built the same table from the gathered swarm;
             # psum-min makes the flag a legal replicated output
-            ok = jax.lax.psum(jnp.all(oks).astype(jnp.int32), axis)                 == jax.lax.axis_size(axis)
+            ok = (jax.lax.psum(jnp.all(oks).astype(jnp.int32), axis)
+                  == jax.lax.axis_size(axis))
         else:
             idx = val01 = states = None   # set by the all-pairs path
             ok = None
