@@ -169,7 +169,8 @@ def _ell_power_lambda(idx, val, v_prev, lam_iters: int):
 
 def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
                        lam_iters: int = 8, table_size=None,
-                       cell_cap: int = 16):
+                       cell_cap: int = 16, use_kernel=None,
+                       lam_path: str = "auto"):
     """One O(N·k) cell-list environment step — the TPU-native spatial
     hash grid replacing the O(N²) all-pairs step for very large swarms.
 
@@ -201,6 +202,20 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
 
     pos/vel: (B,2,N); v_prev: (B,N). Returns (idx (B,N,D) int32,
     val_norm (B,N,D), states (B,6,N), v (B,N), ok ()).
+
+    lambda_max: with the fused window kernel (lam_path='window', the
+    'auto' choice whenever use_kernel), the FIRST power-iteration
+    matvec W @ v_prev is folded into the main window pass for free
+    (v_prev rides the cell table's 7th feature block), and each
+    further matvec is ONE candidate-window pass (re-scatter v into the
+    table's v lanes + window-major gather + wv_only kernel) — O(9N)
+    row gathers instead of the O(N·d_max) element gathers of the ELL
+    matvec (_ell_power_lambda, the lam_path='ell' / non-kernel
+    choice). The window matvec sums the UNTRUNCATED neighbor mask, so
+    it equals the ELL matvec exactly whenever d_max covers the true
+    max degree (the step's existing exactness condition); float
+    association differs (candidate order vs ELL-slot order).
+
     Replaces: reference computeCommunicationGraph + computeStates
     (dataTools.py:2816, 2612) at O(N·k).
     """
@@ -210,26 +225,59 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     H, Gx, Gy, C = _grid_geometry(N, table_size, cell_cap)
     r2 = comm_radius ** 2
     inv_r = 1.0 / comm_radius
+    if use_kernel is None:
+        use_kernel = _gridwin_enabled()
+    if use_kernel and 7 * C > 128:
+        use_kernel = False        # 128-lane rows hold 7 feature blocks
+    win_lam = (lam_path == "window"
+               or (lam_path == "auto" and use_kernel))
     # agent-chunked window math: all big intermediates are (chunk, M)-
     # shaped — minor dim M=9C, so the (8,128) tiling pads ~1.8x instead
     # of the ~14x a (N,9,C,6) layout costs (a full-N layout at 262k
     # OOM'd the chip purely on padding). With the fused Pallas window
     # kernel the per-chunk XLA arrays are just the gather output and
-    # the kernel result, so chunks are much larger — small per-chunk
-    # kernel outputs inside lax.map get scope-allocated in VMEM by XLA
-    # and OOM its 16 MB scoped limit.
-    chunk = _fit_chunk(N, 65536 if _gridwin_enabled() else 8192)
+    # the kernel result — but inside lax.map XLA stack-allocates the
+    # kernel result (the kernel itself asks for ~24 MB of VMEM at
+    # row_tile=512 — above the 16 MB scoped default, raised via
+    # CompilerParams.vmem_limit_bytes in ops.gridwin).
+    chunk = _fit_chunk(N, 65536 if use_kernel else 8192)
 
     def one(pos_b, vel_b, v0_b):
         px, py = pos_b[0], pos_b[1]
         vx, vy = vel_b[0], vel_b[1]
-        cell_rows, cx, cy, ok = _grid_build_table(
-            px, py, vx, vy, inv_r, H, Gx, Gy, C)
-        idx, val, states = _grid_rows_chunked(
+        cell_rows, cx, cy, ok, (order, vpos) = _grid_build_table(
+            px, py, vx, vy, inv_r, H, Gx, Gy, C,
+            v=v0_b if win_lam else None)
+        idx, val, states, wv = _grid_rows_chunked(
             px, py, vx, vy, cx, cy, 0, N, chunk, cell_rows,
-            Gx, Gy, C, r2, d_max, N)
-        return idx, val, states, ok
+            Gx, Gy, C, r2, d_max, N, use_kernel=use_kernel)
+        if not win_lam:
+            return idx, val, states, ok
+        flat = cell_rows.reshape(-1)
 
+        def wv_pass(vb):
+            tbl = flat.at[vpos].set(jnp.take(vb, order),
+                                    mode="drop").reshape(H, 128)
+            return _grid_rows_chunked(
+                px, py, vx, vy, cx, cy, 0, N, chunk, tbl,
+                Gx, Gy, C, r2, d_max, N, use_kernel=use_kernel,
+                wv_only=True)
+
+        nrm = lambda w: w / jnp.maximum(jnp.linalg.norm(w), ZERO_TOL)
+        if lam_iters == 0:
+            v, lam = v0_b, jnp.dot(v0_b, wv)
+        else:
+            v = nrm(wv)
+            if lam_iters > 1:
+                v = jax.lax.fori_loop(
+                    0, lam_iters - 1, lambda i, vb: nrm(wv_pass(vb)), v)
+            lam = jnp.dot(v, wv_pass(v))
+        lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
+        return idx, val / lam, states, v, ok
+
+    if win_lam:
+        idx, val, states, v, ok = jax.vmap(one)(pos, vel, v_prev)
+        return idx, val, states, v, jnp.all(ok)
     idx, val, states, ok = jax.vmap(one)(pos, vel, v_prev)
     lam, v = _ell_power_lambda(idx, val, v_prev, lam_iters)
     return (idx, val / lam[:, None, None], states, v,
@@ -254,11 +302,18 @@ def _grid_hash(cx, cy, Gx, Gy):
             + Gx * jnp.remainder(cy, Gy)).astype(jnp.int32)
 
 
-def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C):
-    """Bin all N agents into the cell table. Returns (cell_rows (H, 6C),
-    cx (N,), cy (N,), ok). Table rows are FEATURE-BLOCKED: [px*C | py*C
-    | vx*C | vy*C | valid*C | id*C] so a per-feature candidate block
-    slices out as one contiguous (rows, 9, C) -> (rows, M) view."""
+def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C, v=None):
+    """Bin all N agents into the cell table. Returns (cell_rows
+    (H, W), cx (N,), cy (N,), ok, (order, vpos)) with W = 7C rounded
+    up to a multiple of 128 lanes. Table rows are FEATURE-BLOCKED:
+    [px*C | py*C | vx*C | vy*C | valid*C | id*C | v*C | pad] — a
+    per-feature candidate block slices out contiguously, and for
+    7C <= 128 (W = 128) the window-major gather output IS the fused
+    window kernel's operand with zero re-layout (ops.gridwin v2).
+    ``v`` (N,) fills the 7th block (the power-iteration eigenvector,
+    so the kernel folds one W@v matvec into the main pass); (order,
+    vpos) lets later matvec passes re-scatter an updated v into the
+    same slots: ``flat_table.at[vpos].set(v[order])``."""
     import jax
     import jax.numpy as jnp
     N = px.shape[0]
@@ -267,6 +322,7 @@ def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C):
     assert N < 2 ** 24, \
         f"grid env stores agent ids in float32 cells; N={N} >= 2^24 " \
         "would silently corrupt neighbor ids"
+    W = -(-7 * C // 128) * 128
     cx = jnp.floor(px * inv_r).astype(jnp.int32)
     cy = jnp.floor(py * inv_r).astype(jnp.int32)
     h = _grid_hash(cx, cy, Gx, Gy)
@@ -281,40 +337,54 @@ def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C):
     ok = jnp.max(rank) < C
     slot = hs * C + jnp.minimum(rank, C - 1)
     f = jnp.stack([px, py, vx, vy, jnp.ones_like(px),
-                   iota.astype(px.dtype)], axis=-1)
+                   iota.astype(px.dtype),
+                   jnp.zeros_like(px) if v is None else v], axis=-1)
     fs = jnp.take(f, order, axis=0)
-    table = jnp.zeros((H * C, 6), px.dtype).at[slot].set(fs, mode="drop")
-    cell_rows = jnp.swapaxes(table.reshape(H, C, 6), -1, -2) \
-        .reshape(H, 6 * C)
-    return cell_rows, cx, cy, ok
+    table = jnp.zeros((H * C, 7), px.dtype).at[slot].set(fs, mode="drop")
+    cell_rows = jnp.swapaxes(table.reshape(H, C, 7), -1, -2) \
+        .reshape(H, 7 * C)
+    if 7 * C < W:
+        cell_rows = jnp.concatenate(
+            [cell_rows, jnp.zeros((H, W - 7 * C), px.dtype)], axis=1)
+    # flat (H*W) position of the v lane for each SORTED agent
+    vpos = (slot // C) * W + 6 * C + slot % C
+    return cell_rows, cx, cy, ok, (order, vpos)
 
 
 def _gridwin_enabled() -> bool:
-    """Opt-in (GNT_GRIDWIN=1, TPU only): the fused Pallas window kernel
-    (ops.gridwin). Measured a WASH vs the tuned XLA path at N=262k
-    (312.6 vs 310.8 ms lam2): the kernel removes the feature-major
-    transpose + mask math, but packing its single 128-lane operand and
-    un-interleaving its output costs the same ~90 ms the transpose did
-    — the binding term in both paths is now the shared tail (min-reduce
-    + (rows, M) relayouts). Kept as the starting point for a future
-    kernel that also folds in the rank/min-reduce; exact parity is
-    tested either way."""
+    """Default-on (TPU): the fused Pallas window kernel v2
+    (ops.gridwin) owns the whole post-gather candidate path — mask,
+    states, first-d_max selection, and the folded W@v matvec — with
+    zero re-layout (the gather output is its operand). The round-3 v1
+    kernel that fused only the mask/state math was a measured WASH
+    (packing + un-interleaving re-paid the relayout the transpose
+    cost); v2 removes both sides. GNT_NO_GRIDWIN=1 forces the XLA
+    window path on TPU; GNT_GRIDWIN=1 opts the (slow, interpret-mode)
+    kernel in off-TPU — tests exercise parity that way."""
     import os
+    if os.environ.get("GNT_NO_GRIDWIN"):
+        return False
     import jax
-    return (jax.default_backend() == "tpu"
-            and bool(os.environ.get("GNT_GRIDWIN")))
+    if jax.default_backend() == "tpu":
+        return True
+    return bool(os.environ.get("GNT_GRIDWIN"))
 
 
 def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
-               Gx, Gy, C, r2, d_max, n_total, use_kernel=None):
+               Gx, Gy, C, r2, d_max, n_total, use_kernel=None,
+               wv_only=False):
     """Neighbor extraction + 6-feature states for ONE set of rows
     against the global cell table: (idx (rows, d_max) int32 GLOBAL ids,
-    val01 (rows, d_max), states (6, rows)).
+    val01 (rows, d_max), states (6, rows), wv (rows,) = the masked sum
+    of the table's v feature — one W @ v_prev power-iteration matvec
+    folded into the window pass). wv_only=True computes just wv (the
+    candidate-window matvec for subsequent power iterations).
 
-    On TPU the post-gather window math runs in the fused Pallas kernel
-    (ops.gridwin) — the pure-XLA formulation pays ~10x the useful work
-    in tile-padding relayouts (round-3 probes); set GNT_NO_GRIDWIN=1 to
-    force the XLA path (CPU always uses it)."""
+    On TPU the post-gather candidate path runs in the fused Pallas
+    kernel (ops.gridwin v2, zero re-layout — the pure-XLA formulation
+    pays ~10x the useful work in tile-padding relayouts, round-3
+    probes); set GNT_NO_GRIDWIN=1 to force the XLA path (CPU default;
+    GNT_GRIDWIN=1 opts the interpret-mode kernel in for tests)."""
     import jax.numpy as jnp
     rows = pxc.shape[0]
     M = 9 * C
@@ -328,67 +398,64 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     dup = (h9[:, :, None] == h9[:, None, :])
     first = jnp.argmax(dup, axis=-1)
     keep = (first == jnp.arange(9)[None, :])         # (rows, 9)
-    cand_flat = jnp.take(cell_rows, h9.reshape(-1), axis=0)  # (rows*9,6C)
 
     if use_kernel is None:
         use_kernel = _gridwin_enabled()
-    if use_kernel and 6 * C + 6 > 128:
-        # the packed kernel operand holds 6C candidate lanes + 6 own
-        # lanes in one 128-lane row: cell_cap > 20 cannot use it
-        use_kernel = False
+    if use_kernel and cell_rows.shape[1] != 128:
+        use_kernel = False        # 7*cell_cap > 128: XLA path only
     if use_kernel:
         from graph_neural_networks_tpu.ops import gridwin
-        A = rows * 9
-        own = jnp.stack([pxc, pyc, vxc, vyc,
-                         own_ids.astype(pxc.dtype)], axis=-1)
-        own = jnp.broadcast_to(own[:, None, :], (rows, 9, 5)) \
-            .reshape(A, 5)
-        keep_a = keep.astype(pxc.dtype).reshape(A, 1)
-        packed = jnp.concatenate(
-            [cand_flat, own, keep_a,
-             jnp.zeros((A, 128 - 6 * C - 6), pxc.dtype)], axis=1)
-        rt = A if A <= 1152 else 9 * _fit_chunk(rows, 128)
-        mcid, stp = gridwin.grid_window_math(packed, C=C, r2=r2,
-                                             row_tile=rt)
-        # 9-window partial-state sum on a flat-lane layout (no (9, 8)
-        # minor dims: those tile-pad 14x)
-        st72 = stp.reshape(rows, 72)
-        st8 = sum(st72[:, 8 * w:8 * (w + 1)] for w in range(9))
-        st = jnp.swapaxes(st8[:, :6], 0, 1)          # (6, rows)
-        mc = mcid.reshape(rows, 9 * 2 * C)
-        mf = jnp.concatenate(
-            [mc[:, 2 * C * w:2 * C * w + C] for w in range(9)], axis=1)
-        cidm = jnp.concatenate(
-            [mc[:, 2 * C * w + C:2 * C * (w + 1)] for w in range(9)],
-            axis=1).astype(jnp.int32)                # masked id or 2^24
-        m = mf > 0
-        cid_fill = jnp.where(m, cidm, jnp.int32(n_total))
-    else:
-        cand = cand_flat.reshape(rows, 9, 6, C)
-        # ONE explicit transpose to feature-major (6, rows, M):
-        # per-feature slices of the raw (rows, 9, 6, C) layout tile-pad
-        # ~14x on the (6, C) minor dims (probe round 3)
-        cand = jnp.transpose(cand, (2, 0, 1, 3)).reshape(6, rows, M)
-        cpx, cpy, cvx, cvy = cand[0], cand[1], cand[2], cand[3]
-        valid = cand[4] * jnp.repeat(keep.astype(pxc.dtype), C, axis=-1)
-        cid = cand[5].astype(jnp.int32)              # exact: N < 2^24
-        dpx = pxc[:, None] - cpx
-        dpy = pyc[:, None] - cpy
-        d2 = dpx ** 2 + dpy ** 2
-        m = ((valid > 0) & (d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
-             & (cid != own_ids[:, None]))
-        mf = m.astype(pxc.dtype)
-        # 6-feature states (same reductions as _jnp_states, over the
-        # 9C candidate window instead of all N)
-        dvx = vxc[:, None] - cvx
-        dvy = vyc[:, None] - cvy
-        inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
-        red = lambda z: jnp.sum(z, axis=-1)
-        st = jnp.stack(
-            [red(dvx * mf), red(dvy * mf),
-             red(dpx * inv ** 2), red(dpy * inv ** 2),
-             red(dpx * inv), red(dpy * inv)], axis=0)  # (6, rows)
-        cid_fill = jnp.where(m, cid, jnp.int32(n_total))
+        # window-major gather: (9*rows, 128) -> (9, rows, 128) is a
+        # major-dim split (layout no-op) and the kernel's operand as-is
+        cand = jnp.take(cell_rows, jnp.swapaxes(h9, 0, 1).reshape(-1),
+                        axis=0).reshape(9, rows, 128)
+        own = jnp.concatenate(
+            [pxc[:, None], pyc[:, None], vxc[:, None], vyc[:, None],
+             own_ids.astype(pxc.dtype)[:, None],
+             keep.astype(pxc.dtype),
+             jnp.zeros((rows, 128 - 14), pxc.dtype)], axis=1)
+        rt = _fit_chunk(rows, 512)
+        out = gridwin.grid_window(cand, own, C=C, r2=r2, d_max=d_max,
+                                  row_tile=rt, wv_only=wv_only)
+        if wv_only:
+            return out[:, 0]
+        idx = out[:, :d_max].astype(jnp.int32)
+        val = out[:, d_max:2 * d_max]
+        st = jnp.swapaxes(out[:, 2 * d_max:2 * d_max + 6], 0, 1)
+        wv = out[:, 2 * d_max + 6]
+        return idx, val, st, wv
+
+    # pure-XLA window path (CPU / GNT_NO_GRIDWIN)
+    cand_flat = jnp.take(cell_rows, h9.reshape(-1), axis=0)  # (rows*9,W)
+    cand3 = cand_flat.reshape(rows, 9, cell_rows.shape[1])
+    # ONE explicit re-layout to feature-major (7, rows, M): per-feature
+    # slices of the raw (rows, 9, 7, C) layout tile-pad ~14x on the
+    # (7, C) minor dims (probe round 3)
+    cand = jnp.stack([cand3[..., f * C:(f + 1) * C] for f in range(7)],
+                     axis=0).reshape(7, rows, M)
+    cpx, cpy, cvx, cvy = cand[0], cand[1], cand[2], cand[3]
+    valid = cand[4] * jnp.repeat(keep.astype(pxc.dtype), C, axis=-1)
+    cid = cand[5].astype(jnp.int32)              # exact: N < 2^24
+    dpx = pxc[:, None] - cpx
+    dpy = pyc[:, None] - cpy
+    d2 = dpx ** 2 + dpy ** 2
+    m = ((valid > 0) & (d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
+         & (cid != own_ids[:, None]))
+    mf = m.astype(pxc.dtype)
+    wv = jnp.sum(cand[6] * mf, axis=-1)
+    if wv_only:
+        return wv
+    # 6-feature states (same reductions as _jnp_states, over the
+    # 9C candidate window instead of all N)
+    dvx = vxc[:, None] - cvx
+    dvy = vyc[:, None] - cvy
+    inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
+    red = lambda z: jnp.sum(z, axis=-1)
+    st = jnp.stack(
+        [red(dvx * mf), red(dvy * mf),
+         red(dpx * inv ** 2), red(dpy * inv ** 2),
+         red(dpx * inv), red(dpy * inv)], axis=0)  # (6, rows)
+    cid_fill = jnp.where(m, cid, jnp.int32(n_total))
     # first-d_max neighbors: rank-compare min-reduce directly over the
     # candidates' ORIGINAL (global) ids (one match per rank)
     rdt = jnp.int8 if d_max < 127 else jnp.int32
@@ -401,11 +468,12 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     idx = jnp.min(candidates, axis=-1)               # (rows, d_max)
     val = (idx < n_total).astype(pxc.dtype)
     idx = jnp.where(idx < n_total, idx, 0)
-    return idx, val, st
+    return idx, val, st, wv
 
 
 def _grid_rows_chunked(px, py, vx, vy, cx, cy, lo0, n_rows, chunk,
-                       cell_rows, Gx, Gy, C, r2, d_max, n_total):
+                       cell_rows, Gx, Gy, C, r2, d_max, n_total,
+                       use_kernel=None, wv_only=False):
     """_grid_rows over rows [lo0, lo0+n_rows) of the (full) agent
     arrays, in chunks (lax.map). lo0 may be traced (sharded block
     offset). Requires n_rows % chunk == 0."""
@@ -417,15 +485,18 @@ def _grid_rows_chunked(px, py, vx, vy, cx, cy, lo0, n_rows, chunk,
         own = lo + jnp.arange(chunk, dtype=jnp.int32)
         return _grid_rows(sl(px), sl(py), sl(vx), sl(vy),
                           sl(cx), sl(cy), own, cell_rows,
-                          Gx, Gy, C, r2, d_max, n_total)
+                          Gx, Gy, C, r2, d_max, n_total,
+                          use_kernel=use_kernel, wv_only=wv_only)
 
     if n_rows == chunk:
-        idx, val, st = window(lo0)
-        return idx, val, st
-    idxs, vals, sts = jax.lax.map(
-        window, lo0 + jnp.arange(n_rows // chunk, dtype=jnp.int32) * chunk)
+        return window(lo0)
+    los = lo0 + jnp.arange(n_rows // chunk, dtype=jnp.int32) * chunk
+    if wv_only:
+        return jax.lax.map(window, los).reshape(n_rows)
+    idxs, vals, sts, wvs = jax.lax.map(window, los)
     return (idxs.reshape(n_rows, d_max), vals.reshape(n_rows, d_max),
-            jnp.moveaxis(sts, 0, 1).reshape(6, n_rows))
+            jnp.moveaxis(sts, 0, 1).reshape(6, n_rows),
+            wvs.reshape(n_rows))
 
 
 def _topk_blocked(scores, k: int, block: int):

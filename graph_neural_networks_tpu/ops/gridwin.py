@@ -1,29 +1,39 @@
-"""Fused cell-window math kernel for the grid swarm environment.
+"""Fused cell-window kernel for the grid swarm environment (v2).
 
-The grid env step gathers, per agent, 9 feature-blocked cell rows
-(data.flocking._grid_rows). The pure-XLA formulation then pays a heavy
-re-layout: per-feature slices of the (rows, 9, 6, C) candidate tensor
-tile-pad up to 14x, and the explicit feature-major transpose still
-costs ~60 ms of the ~120 ms window math at N=262k (round-3 probes; the
-logical traffic is ~4 ms). This kernel fuses everything AFTER the
-gather into one pass over the candidate block:
+The grid env step gathers, per agent, the 9 cell rows of its 3x3 cell
+neighborhood (data.flocking._grid_rows). Round-3 measurements showed
+the pure-XLA window math pays ~10-25x its useful HBM traffic in tiled
+re-layouts ((rows, 9, 6, C) feature slices pad ~14x; the feature-major
+transpose costs ~60 ms at N=262k), and the round-3 kernel that fused
+only the mask/state math was a WASH: packing its operand and
+un-interleaving its (mask | id) output re-paid the same relayout.
 
-    input   packed (rows*9, 128): [cand 6C=96 | px py vx vy id | keep
-                                   | pad] — ONE exactly-128-lane
-                                   operand: the tpu custom call
-                                   requires linear operand layouts and
-                                   XLA's tiled->linear relayout runs
-                                   through a ~18 MB scoped-vmem stack
-                                   buffer PER OPERAND, which blew the
-                                   16 MB scoped limit with three
-                                   separately-padded operands
-    output  out (rows*9, 2C+16): [mask | masked candidate id |
-                                  6 partial state features | pad]
+v2 owns the WHOLE post-gather candidate path so no intermediate wider
+than the kernel result is ever materialized:
 
-Everything is elementwise on (tile, C)-lane slices — no transposes, no
-(rows, 9, 6, C) tensor ever exists. The cheap tail (9-window partial-
-state reduction, rank-compare min-reduce over the 9C candidates) stays
-in XLA where it measured ~5 ms.
+    cand (9, rows, 128)  the gather output itself, window-major — cell
+                         table rows are built 128 lanes wide
+                         (feature-blocked [px|py|vx|vy|valid|id|v]*C,
+                         data.flocking._grid_build_table), so
+                         jnp.take(...).reshape(9, rows, 128) is a
+                         layout no-op and the kernel's first operand
+    own  (rows, 128)     [px, py, vx, vy, id, keep[9], pad] per agent
+    out  (rows, OW)      [idx[d_max] | val[d_max] | st[6] | wv | cnt]
+                         (OW = 2*d_max + 8 rounded up to 128 lanes)
+
+Inside the kernel, per 9-cell window: distance mask, 6-feature partial
+states, the W @ v_prev fold (v is the table's 7th feature block — one
+power-iteration matvec rides the main pass for free), and the
+rank-compare selection of the first d_max neighbors. Ranks come from a
+single (rows, 9C) x (9C, 9C) lower-triangular matmul (an MXU prefix
+sum); the unique rank==t match makes selection an exact sum-select.
+Everything is (tile, C)-lane slices — no transposes, no gather output
+ever re-laid out.
+
+Replaces at scale: reference computeCommunicationGraph + computeStates
+(dataTools.py:2612-3020). Exactness contract and neighbor-order
+semantics identical to the XLA window path in
+data.flocking._grid_rows (parity-tested in tests/test_ell.py).
 """
 
 from __future__ import annotations
@@ -36,68 +46,116 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ZERO_TOL = 1e-9
+ID_SENTINEL = float(2 ** 24)   # > any valid agent id (N < 2^24 asserted)
 
 
-def _make_kernel(C: int, r2: float):
-    def kernel(in_ref, out_ref):
-        cand = in_ref[:]
-        base = 6 * C
-        px, py = cand[:, base:base + 1], cand[:, base + 1:base + 2]
-        vx, vy = cand[:, base + 2:base + 3], cand[:, base + 3:base + 4]
-        oid = cand[:, base + 4:base + 5]
-        keep = cand[:, base + 5:base + 6]
-        cpx = cand[:, 0 * C:1 * C]
-        cpy = cand[:, 1 * C:2 * C]
-        cvx = cand[:, 2 * C:3 * C]
-        cvy = cand[:, 3 * C:4 * C]
-        valid = cand[:, 4 * C:5 * C] * keep
-        cid = cand[:, 5 * C:6 * C]
-        dpx = px - cpx
-        dpy = py - cpy
-        d2 = dpx * dpx + dpy * dpy
-        m = ((valid > 0.0) & (d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
-             & (cid != oid))
-        mf = m.astype(cand.dtype)
-        inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
-        dvx = vx - cvx
-        dvy = vy - cvy
-        red = lambda z: jnp.sum(z, axis=1, keepdims=True)
-        st = jnp.concatenate(
-            [red(dvx * mf), red(dvy * mf),
-             red(dpx * inv * inv), red(dpy * inv * inv),
-             red(dpx * inv), red(dpy * inv),
-             jnp.zeros_like(px), jnp.zeros_like(px)], axis=1)
-        big = jnp.asarray(float(2 ** 24), cand.dtype)
-        out_ref[:] = jnp.concatenate(
-            [mf, jnp.where(m, cid, big), st,
-             jnp.zeros((mf.shape[0], 8), cand.dtype)], axis=1)
+def _make_kernel(C: int, r2: float, d_max: int, OW: int, wv_only: bool):
+    M = 9 * C
+
+    def kernel(cand_ref, own_ref, out_ref):
+        own = own_ref[:]                              # (TA, 128)
+        opx, opy = own[:, 0:1], own[:, 1:2]
+        ovx, ovy = own[:, 2:3], own[:, 3:4]
+        oid = own[:, 4:5]
+        dt = own.dtype
+        mf_p, cid_p, s_acc, wv = [], [], None, None
+        for w in range(9):
+            blk = cand_ref[w]                         # (TA, 128)
+            cpx, cpy = blk[:, 0 * C:1 * C], blk[:, 1 * C:2 * C]
+            cvx, cvy = blk[:, 2 * C:3 * C], blk[:, 3 * C:4 * C]
+            valid = blk[:, 4 * C:5 * C] * own[:, 5 + w:6 + w]
+            cid = blk[:, 5 * C:6 * C]
+            cv = blk[:, 6 * C:7 * C]
+            dpx, dpy = opx - cpx, opy - cpy
+            d2 = dpx * dpx + dpy * dpy
+            m = ((valid > 0.0) & (d2 <= r2)
+                 & (jnp.exp(-d2) > ZERO_TOL) & (cid != oid))
+            mfw = m.astype(dt)
+            red = lambda z: jnp.sum(z, axis=1, keepdims=True)
+            wvw = red(cv * mfw)
+            wv = wvw if wv is None else wv + wvw
+            if not wv_only:
+                inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mfw
+                dvx, dvy = ovx - cvx, ovy - cvy
+                sw = [red(dvx * mfw), red(dvy * mfw),
+                      red(dpx * inv * inv), red(dpy * inv * inv),
+                      red(dpx * inv), red(dpy * inv)]
+                s_acc = sw if s_acc is None else \
+                    [a + b for a, b in zip(s_acc, sw)]
+                mf_p.append(mfw)
+                cid_p.append(cid)
+        if wv_only:
+            out_ref[:] = jnp.concatenate(
+                [wv, jnp.zeros((wv.shape[0], OW - 1), dt)], axis=1)
+            return
+        mf = jnp.concatenate(mf_p, axis=1)            # (TA, 9C)
+        cid = jnp.concatenate(cid_p, axis=1)
+        # prefix-sum ranks via a lower-triangular ones matmul (MXU)
+        tri = jnp.tril(jnp.ones((M, M), dt))
+        rk = jax.lax.dot_general(
+            mf, tri, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+        # first-d_max selection: rank t+1 matches exactly one masked
+        # lane (cumsum increments only on masked lanes), so the gated
+        # sum IS the selected id; ids are offset by +1 so 0 = none
+        g = (cid + 1.0) * mf
+        cols = [jnp.sum(g * (rk == float(t + 1)).astype(dt),
+                        axis=1, keepdims=True) for t in range(d_max)]
+        sel = jnp.concatenate(cols, axis=1)           # (TA, d_max)
+        val = (sel > 0.0).astype(dt)
+        idxf = jnp.maximum(sel - 1.0, 0.0)
+        cnt = jnp.sum(mf, axis=1, keepdims=True)
+        out = [idxf, val] + s_acc + [wv, cnt]
+        used = 2 * d_max + 8
+        if used < OW:
+            out.append(jnp.zeros((mf.shape[0], OW - used), dt))
+        out_ref[:] = jnp.concatenate(out, axis=1)
+
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("C", "r2", "row_tile", "interpret"))
-def grid_window_math(packed, *, C: int, r2: float,
-                     row_tile: int = 2048, interpret: bool = False):
-    """packed (A, 128) with A = rows*9 (see module docstring) ->
-    (mcid (A, 2C) [mask | masked id, invalid -> 2^24], st (A, 8))."""
-    A, W = packed.shape
-    assert W == 128 and 6 * C + 6 <= 128, (W, C)
-    rt = min(row_tile, A)
-    assert A % rt == 0, (A, rt)
-    grid = (A // rt,)
-    out = pl.pallas_call(
-        _make_kernel(C, r2),
-        grid=grid,
+def _out_width(d_max: int) -> int:
+    return -(-(2 * d_max + 8) // 128) * 128
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "C", "r2", "d_max", "row_tile", "wv_only", "interpret"))
+def grid_window(cand, own, *, C: int, r2: float, d_max: int,
+                row_tile: int = 512, wv_only: bool = False,
+                interpret=None):
+    """cand (9, rows, 128) window-major gathered cell rows, own
+    (rows, 128) [px py vx vy id keep*9 pad] -> (rows, OW):
+    [idx (d_max, float ids, 0-filled) | val (d_max, 0/1) | st (6) |
+    wv = (W v_prev)_row | cnt = in-degree | pad]. wv_only=True computes
+    just the masked-v reduction (the candidate-window power-iteration
+    matvec): out lane 0 = wv. interpret=None auto-enables Pallas
+    interpret mode off-TPU (CPU tests)."""
+    _, rows, W = cand.shape
+    assert W == 128 and 7 * C <= 128, (W, C)
+    assert own.shape == (rows, 128), own.shape
+    OW = 128 if wv_only else _out_width(d_max)
+    rt = min(row_tile, rows)
+    assert rows % rt == 0, (rows, rt)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        _make_kernel(C, r2, d_max, OW, wv_only),
+        grid=(rows // rt,),
         in_specs=[
+            pl.BlockSpec((9, rt, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rt, 2 * C + 16), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rt, OW), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((A, 2 * C + 16), packed.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, OW), cand.dtype),
+        # the selection loop + pipeline buffers want ~24 MB of VMEM at
+        # row_tile=512 — above XLA's conservative 16 MB scoped default
+        # but well inside the chip's physical VMEM
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
-        interpret=interpret,
-    )(packed)
-    return out[:, :2 * C], out[:, 2 * C:2 * C + 8]
+        interpret=bool(interpret),
+    )(cand, own)

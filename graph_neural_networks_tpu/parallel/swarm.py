@@ -85,7 +85,10 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
     exactness contract as the single-chip step."""
     r2 = comm_radius ** 2
 
-    @partial(shard_map, mesh=mesh,
+    # check_vma=False: the grid path may run the fused Pallas window
+    # kernel (ops.gridwin) inside the shard (CLAUDE.md: pallas-in-
+    # shard_map needs it); the collectives below are explicit either way
+    @partial(shard_map, mesh=mesh, check_vma=False,
              in_specs=(P(None, None, axis), P(None, None, axis),
                        P(None, axis)),
              out_specs=(P(None, axis, None), P(None, axis, None),
@@ -108,10 +111,10 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
             gchunk = _fit_chunk(Np, 8192)
 
             def one_grid(pf_b, vf_b):
-                cell_rows, cx, cy, ok_b = F._grid_build_table(
+                cell_rows, cx, cy, ok_b, _ = F._grid_build_table(
                     pf_b[0], pf_b[1], vf_b[0], vf_b[1],
                     inv_r, H, Gx, Gy, Cc)
-                i_, v_, s_ = F._grid_rows_chunked(
+                i_, v_, s_, _wv = F._grid_rows_chunked(
                     pf_b[0], pf_b[1], vf_b[0], vf_b[1], cx, cy,
                     lo0, Np, gchunk, cell_rows, Gx, Gy, Cc, r2,
                     d_max, N)

@@ -566,20 +566,22 @@ def test_grid_rollout_matches_chunked_rollout():
     np.testing.assert_allclose(p_gseg, p_grid, rtol=1e-6, atol=1e-6)
 
 
-def test_gridwin_kernel_matches_xla_window_math():
-    """ops.gridwin (fused Pallas window kernel, interpret mode) produces
-    the same mask / masked ids / partial states as the XLA window path
-    in _grid_rows, on the same packed candidates."""
+def test_gridwin_kernel_matches_xla_window_path():
+    """ops.gridwin v2 (fused Pallas candidate-path kernel, interpret
+    mode on CPU) produces the same neighbor ids / values / states and
+    the same folded W@v matvec as the pure-XLA window path in
+    _grid_rows — idx/val bit-exact, floats allclose."""
     from graph_neural_networks_tpu.data import flocking as F
-    from graph_neural_networks_tpu.ops import gridwin
     rng = np.random.default_rng(6)
-    N, C, D = 72, 16, 64
+    N, C, D = 72, 16, 48
     r = 2.0
     pos = rng.uniform(-5, 5, (2, N)).astype(np.float32)
     vel = rng.normal(size=(2, N)).astype(np.float32)
+    v0 = rng.normal(size=(N,)).astype(np.float32)
     H, Gx, Gy, Cc = F._grid_geometry(N, 256, C)
-    cell_rows, cx, cy, ok = jax.jit(
-        lambda *a: F._grid_build_table(*a, 1.0 / r, H, Gx, Gy, Cc))(
+    cell_rows, cx, cy, ok, _ = jax.jit(
+        lambda *a: F._grid_build_table(*a, 1.0 / r, H, Gx, Gy, Cc,
+                                       v=jnp.asarray(v0)))(
         jnp.asarray(pos[0]), jnp.asarray(pos[1]),
         jnp.asarray(vel[0]), jnp.asarray(vel[1]))
     assert bool(ok)
@@ -587,42 +589,50 @@ def test_gridwin_kernel_matches_xla_window_math():
             jnp.asarray(vel[0]), jnp.asarray(vel[1]), cx, cy,
             jnp.arange(N, dtype=jnp.int32), cell_rows,
             Gx, Gy, Cc, r * r, D, N)
-    i_x, v_x, st_x = F._grid_rows(*args, use_kernel=False)
-
-    # run the kernel path by hand (interpret=True works on CPU)
-    offs = jnp.array([(dx, dy) for dx in (-1, 0, 1)
-                      for dy in (-1, 0, 1)], jnp.int32)
-    h9 = F._grid_hash(cx[:, None] + offs[None, :, 0],
-                      cy[:, None] + offs[None, :, 1], Gx, Gy)
-    dup = (h9[:, :, None] == h9[:, None, :])
-    keep = (jnp.argmax(dup, -1) == jnp.arange(9)[None, :])
-    cand_flat = jnp.take(cell_rows, h9.reshape(-1), axis=0)
-    A = N * 9
-    own = jnp.stack([jnp.asarray(pos[0]), jnp.asarray(pos[1]),
-                     jnp.asarray(vel[0]), jnp.asarray(vel[1]),
-                     jnp.arange(N, dtype=jnp.float32)], axis=-1)
-    own = jnp.broadcast_to(own[:, None, :], (N, 9, 5)).reshape(A, 5)
-    keep_a = keep.astype(jnp.float32).reshape(A, 1)
-    packed = jnp.concatenate(
-        [cand_flat, own, keep_a,
-         jnp.zeros((A, 128 - 6 * Cc - 6), jnp.float32)], axis=1)
-    mcid, stp = gridwin.grid_window_math(packed, C=Cc, r2=r * r,
-                                         row_tile=A, interpret=True)
-    mc = np.asarray(mcid).reshape(N, 9 * 2 * Cc)
-    mf = np.concatenate([mc[:, 2*Cc*w:2*Cc*w+Cc] for w in range(9)], 1)
-    cidm = np.concatenate([mc[:, 2*Cc*w+Cc:2*Cc*(w+1)]
-                           for w in range(9)], 1).astype(np.int32)
-    st72 = np.asarray(stp).reshape(N, 72)
-    st8 = sum(st72[:, 8*w:8*(w+1)] for w in range(9))
-    np.testing.assert_allclose(st8[:, :6].T, np.asarray(st_x),
+    i_x, v_x, st_x, wv_x = F._grid_rows(*args, use_kernel=False)
+    i_k, v_k, st_k, wv_k = F._grid_rows(*args, use_kernel=True)
+    np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_x))
+    np.testing.assert_array_equal(np.asarray(v_k), np.asarray(v_x))
+    np.testing.assert_allclose(np.asarray(st_k), np.asarray(st_x),
                                rtol=1e-5, atol=1e-5)
-    # densified neighbor sets match
-    m = mf > 0
+    np.testing.assert_allclose(np.asarray(wv_k), np.asarray(wv_x),
+                               rtol=1e-5, atol=1e-5)
+    # wv_only mode agrees with the full pass
+    wv_o = F._grid_rows(*args, use_kernel=True, wv_only=True)
+    np.testing.assert_allclose(np.asarray(wv_o), np.asarray(wv_k),
+                               rtol=1e-6, atol=1e-6)
+    # wv really is W @ v0 on the densified mask graph
     Sref = np.zeros((N, N))
     np.add.at(Sref, (np.arange(N)[:, None].repeat(D, 1),
                      np.asarray(i_x)), np.asarray(v_x))
-    Sker = np.zeros((N, N))
-    for n in range(N):
-        for j in np.where(m[n])[0]:
-            Sker[n, cidm[n, j]] += 1.0
-    np.testing.assert_array_equal(Sker > 0, Sref > 0)
+    np.testing.assert_allclose(np.asarray(wv_x), Sref @ v0,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grid_window_lambda_matches_ell_lambda():
+    """_jnp_env_step_grid with the candidate-window power iteration
+    (lam_path='window', kernel in interpret mode) matches the ELL-
+    matvec power iteration when d_max covers the true max degree."""
+    from graph_neural_networks_tpu.data import flocking as F
+    rng = np.random.default_rng(11)
+    B, N = 2, 96
+    pos = jnp.asarray(rng.uniform(-6, 6, (B, 2, N)), jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(B, 2, N)), jnp.float32)
+    v0 = jnp.ones((B, N), jnp.float32) / np.sqrt(N)
+    for iters in (0, 1, 3):
+        i_e, s_e, x_e, v_e, ok_e = jax.jit(
+            lambda p, v, v0: F._jnp_env_step_grid(
+                p, v, 2.0, 64, v0, lam_iters=iters,
+                use_kernel=False, lam_path="ell"))(pos, vel, v0)
+        i_w, s_w, x_w, v_w, ok_w = jax.jit(
+            lambda p, v, v0: F._jnp_env_step_grid(
+                p, v, 2.0, 64, v0, lam_iters=iters,
+                use_kernel=True, lam_path="window"))(pos, vel, v0)
+        assert bool(ok_e) and bool(ok_w)
+        np.testing.assert_array_equal(np.asarray(i_w), np.asarray(i_e))
+        np.testing.assert_allclose(np.asarray(s_w), np.asarray(s_e),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_e),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v_w), np.asarray(v_e),
+                                   rtol=1e-4, atol=1e-6)
