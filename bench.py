@@ -32,6 +32,16 @@ Measurement protocol note (r3): the axon tunnel's BLOCKED dispatch
 round-trip varies (measured 1.5 ms in r1-r2, ~25 ms in r3); every
 timing here queues `iters` dispatches and blocks once at the end
 (_bench), so round-trip latency never enters the per-shift numbers.
+
+Flagship metric (r4, VERDICT r3 item 7): the one JSON line also
+carries `flagship_agent_steps_per_s` / `flagship_step_ms` — the
+N=262144 closed-loop grid-env rollout (LocalGNN_DB policy in the
+loop, lam_iters=2), measured as the MARGINAL scan step (chain T=25
+minus T=5, over 20): round 3's "1.3x scan residual" turned out to be
+the cold-start env (lam_iters=32) amortized into a 5-step average
+(probe_gridwin_internals), so per-step numbers here exclude init by
+construction. `vs_baseline` remains the band-kernel ratio (unchanged
+definition since r2).
 """
 
 import json
@@ -235,6 +245,51 @@ def bench_config(N, R, density, bandwidth, dtype_name="f32", kernel="band",
         **meta)
 
 
+def bench_flagship(N=262144, D=32, t_short=5, t_long=25):
+    """Marginal closed-loop step time of the flagship N=262144 grid-env
+    rollout (policy + env + physics inside one lax.scan). Returns
+    (t_step_ms, agent_steps_per_s)."""
+    import jax
+    import jax.numpy as jnp
+    from graph_neural_networks_tpu.data import flocking as F
+    from graph_neural_networks_tpu.models import architectures_time as archt
+    env = F.Flocking.for_rollout(N, commRadius=2.0, repelDist=1.0,
+                                 samplingTime=0.01,
+                                 rng=np.random.default_rng(0))
+    ip, iv = env.compute_initial_positions(
+        N, 1, env.commRadius, minDist=env.initMinDist,
+        geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
+    pos = jnp.asarray(ip, jnp.float32)
+    vel = jnp.asarray(iv, jnp.float32)
+    net = archt.LocalGNN_DB(dimNodeSignals=[6, 32], nFilterTaps=[4],
+                            bias=True, nonlinearity="tanh",
+                            dimReadout=[2], dimEdgeFeatures=1)
+    params = net.init(jax.random.PRNGKey(1), N=64, T=4)
+    init_fn, step_fn = env._chunked_pieces(
+        net.causal_window, net, D, None, 2, step_mode=True,
+        env_grid=True)
+
+    def chain(T):
+        @jax.jit
+        def f(params, pos, vel):
+            carry, _ = init_fn(pos, vel)
+            carry, ys = jax.lax.scan(
+                lambda c, _: step_fn(params, c), carry, None, length=T)
+            return sum(jnp.sum(jnp.asarray(l, jnp.float32))
+                       for l in jax.tree_util.tree_leaves((carry, ys)))
+        r = f(params, pos, vel)
+        jax.block_until_ready(r)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = f(params, pos, vel)
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+    t_step_ms = (chain(t_long) - chain(t_short)) / (t_long - t_short)
+    return t_step_ms, N / (t_step_ms / 1e3)
+
+
 def bench_dense(N, R, dtype_name="f32", K=5, repeat=20):
     import jax
     import jax.numpy as jnp
@@ -340,6 +395,13 @@ def main():
     # the chained multi-column band kernel there, which saturates the MXU
     res_prod = bench_config(N, 2048, density, bandwidth, "f32", "band",
                             check=False)
+    # flagship: N=262144 closed-loop grid-env rollout, marginal step
+    try:
+        flag_ms, flag_aps = bench_flagship()
+    except Exception as e:  # never lose the kernel headline to a flagship
+        flag_ms, flag_aps = -1.0, -1.0
+        print(json.dumps({"flagship_error": repr(e)[:200]}),
+              file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": "lsigf_band_spmm_edges_per_s",
@@ -349,11 +411,14 @@ def main():
                 f"dense {t_dense*1e3:.2f}ms, band {res['t_shift_ms']:.2f}ms"
                 f"/shift, {res['executed_tflops']:.1f} TF/s executed vs "
                 f"{res['peak_tflops']:.1f} TF/s measured f32 peak; "
-                f"R=2048: {res_prod['roofline_pct']:.0f}% of roofline)",
+                f"R=2048: {res_prod['roofline_pct']:.0f}% of roofline; "
+                f"flagship 262k closed-loop {flag_ms:.0f}ms/step)",
         "vs_baseline": speedup,
         "roofline_pct": round(res["roofline_pct"], 1),
         "roofline_pct_production": round(res_prod["roofline_pct"], 1),
         "edge_fraction": round(res["edge_fraction"], 4),
+        "flagship_step_ms": round(flag_ms, 1),
+        "flagship_agent_steps_per_s": round(flag_aps, 0),
     }))
 
 

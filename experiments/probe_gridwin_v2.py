@@ -73,17 +73,21 @@ def main():
         return (jnp.sum(i.astype(jnp.float32)) + jnp.sum(s) + jnp.sum(x)
                 + jnp.sum(v) + ok.astype(jnp.float32))
 
-    def env_fn(kernel, iters):
+    def env_fn(kernel, iters, factor=1):
         def f(pos, vel, v0):
             out = F._jnp_env_step_grid(pos, vel, 2.0, D, v0,
                                        lam_iters=iters,
-                                       use_kernel=kernel)
+                                       use_kernel=kernel,
+                                       cell_factor=factor,
+                                       cell_cap=16 * factor)
             return consume(*out)
         return f
 
     for iters in (0, 2):
         emit(tag=f"env_v2_lam{iters}",
              t_ms=timeit(env_fn(True, iters), pos, vel, v0))
+        emit(tag=f"env_quad_lam{iters}",
+             t_ms=timeit(env_fn(True, iters, 2), pos, vel, v0))
         emit(tag=f"env_xla_lam{iters}",
              t_ms=timeit(env_fn(False, iters), pos, vel, v0))
 

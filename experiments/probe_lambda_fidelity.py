@@ -61,9 +61,12 @@ def main():
     scale = np.abs(pos_ref).max()
     emit(tag="reference", lam_iters=64, cost=cost_ref,
          pos_scale=float(scale))
-    for li in (8, 4, 2, 1):
+    # lam_iters=0 on the kernel/window path (r4) is the ZERO-pass FOLD
+    # mode: Rayleigh lambda from the main pass's folded W@v, v advanced
+    # one warm power iteration per step
+    for li in (8, 4, 2, 1, 0):
         pos, vel, cost = run(li)
-        emit(lam_iters=li, cost=cost,
+        emit(lam_iters=li, fold=(li == 0), cost=cost,
              cost_rel_err=abs(cost - cost_ref) / cost_ref,
              pos_maxdiff=float(np.abs(pos - pos_ref).max()),
              pos_rel=float(np.abs(pos - pos_ref).max() / scale))

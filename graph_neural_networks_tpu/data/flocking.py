@@ -170,7 +170,7 @@ def _ell_power_lambda(idx, val, v_prev, lam_iters: int):
 def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
                        lam_iters: int = 8, table_size=None,
                        cell_cap: int = 16, use_kernel=None,
-                       lam_path: str = "auto"):
+                       lam_path: str = "auto", cell_factor: int = 1):
     """One O(N·k) cell-list environment step — the TPU-native spatial
     hash grid replacing the O(N²) all-pairs step for very large swarms.
 
@@ -222,13 +222,11 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     import jax
     import jax.numpy as jnp
     B, _, N = pos.shape
-    H, Gx, Gy, C = _grid_geometry(N, table_size, cell_cap)
+    H, Gx, Gy, C = _grid_geometry(N, table_size, cell_cap, cell_factor)
     r2 = comm_radius ** 2
-    inv_r = 1.0 / comm_radius
+    inv_s = 1.0 / (cell_factor * comm_radius)
     if use_kernel is None:
         use_kernel = _gridwin_enabled()
-    if use_kernel and 7 * C > 128:
-        use_kernel = False        # 128-lane rows hold 7 feature blocks
     win_lam = (lam_path == "window"
                or (lam_path == "auto" and use_kernel))
     # agent-chunked window math: all big intermediates are (chunk, M)-
@@ -246,26 +244,37 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
         px, py = pos_b[0], pos_b[1]
         vx, vy = vel_b[0], vel_b[1]
         cell_rows, cx, cy, ok, (order, vpos) = _grid_build_table(
-            px, py, vx, vy, inv_r, H, Gx, Gy, C,
+            px, py, vx, vy, inv_s, H, Gx, Gy, C,
             v=v0_b if win_lam else None)
         idx, val, states, wv = _grid_rows_chunked(
             px, py, vx, vy, cx, cy, 0, N, chunk, cell_rows,
-            Gx, Gy, C, r2, d_max, N, use_kernel=use_kernel)
+            Gx, Gy, C, r2, d_max, N, use_kernel=use_kernel,
+            inv_s=inv_s, factor=cell_factor)
         if not win_lam:
             return idx, val, states, ok
         flat = cell_rows.reshape(-1)
+        Wt = cell_rows.shape[1]
 
         def wv_pass(vb):
             tbl = flat.at[vpos].set(jnp.take(vb, order),
-                                    mode="drop").reshape(H, 128)
+                                    mode="drop").reshape(H, Wt)
             return _grid_rows_chunked(
                 px, py, vx, vy, cx, cy, 0, N, chunk, tbl,
                 Gx, Gy, C, r2, d_max, N, use_kernel=use_kernel,
-                wv_only=True)
+                wv_only=True, inv_s=inv_s, factor=cell_factor)
 
         nrm = lambda w: w / jnp.maximum(jnp.linalg.norm(w), ZERO_TOL)
         if lam_iters == 0:
-            v, lam = v0_b, jnp.dot(v0_b, wv)
+            # ZERO-pass "fold" mode: the main window pass already
+            # computed wv = W @ v_prev, so lam = v_prev' W v_prev /
+            # v_prev'v_prev is the Rayleigh quotient (error quadratic
+            # in the warm eigenvector's angle) and v still advances one
+            # power iteration — unlike the ELL path's lam_iters=0,
+            # which freezes v. Fidelity vs converged lambda:
+            # experiments/probe_lambda_fidelity.json (r4 rows).
+            v = nrm(wv)
+            lam = jnp.dot(v0_b, wv) / jnp.maximum(
+                jnp.dot(v0_b, v0_b), ZERO_TOL)
         else:
             v = nrm(wv)
             if lam_iters > 1:
@@ -284,14 +293,35 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
             jnp.all(ok))
 
 
-def _grid_geometry(N, table_size, cell_cap):
-    """(H, Gx, Gy, C): modular-grid dims (H = Gx*Gy slots, power of 2)."""
-    H = int(table_size) if table_size is not None else \
-        max(1 << (N - 1).bit_length(), 1024)      # ~N slots, power of 2
+def _grid_geometry(N, table_size, cell_cap, factor: int = 1):
+    """(H, Gx, Gy, C): modular-grid dims (H = Gx*Gy slots, power of 2).
+    factor = cell side in units of comm_radius: 1 -> 3x3 windows of
+    side-r cells (9 gathers/agent, C=16 default); 2 -> 2x2 windows of
+    side-2r cells (4 gathers/agent from a quarter-size table, C=32
+    default — measured 4.6x faster candidate fetch at N=262k,
+    probe_build_variants/probe_gather_width)."""
+    if table_size is not None:
+        H = int(table_size)
+    else:
+        n_cells = max(N // (factor * factor), 1024)
+        H = 1 << (n_cells - 1).bit_length()       # ~N/f^2, power of 2
     assert H & (H - 1) == 0, "table_size must be a power of two"
     k2 = H.bit_length() - 1
     Gx = 1 << ((k2 + 1) // 2)
     return H, Gx, H // Gx, int(cell_cap)
+
+
+def _parse_env_grid(env_grid):
+    """(table_size, cell_cap, cell_factor) from an env_grid spec: True
+    -> the quad scheme defaults (None, 32, 2); a (table_size, cell_cap)
+    pair keeps the original 3x3 side-r scheme (factor 1); a 3-tuple
+    sets the factor explicitly."""
+    if env_grid is True:
+        return None, 32, 2
+    tup = tuple(env_grid)
+    if len(tup) == 2:
+        return tup[0], tup[1], 1
+    return tup
 
 
 def _grid_hash(cx, cy, Gx, Gy):
@@ -302,7 +332,7 @@ def _grid_hash(cx, cy, Gx, Gy):
             + Gx * jnp.remainder(cy, Gy)).astype(jnp.int32)
 
 
-def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C, v=None):
+def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None):
     """Bin all N agents into the cell table. Returns (cell_rows
     (H, W), cx (N,), cy (N,), ok, (order, vpos)) with W = 7C rounded
     up to a multiple of 128 lanes. Table rows are FEATURE-BLOCKED:
@@ -323,8 +353,8 @@ def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C, v=None):
         f"grid env stores agent ids in float32 cells; N={N} >= 2^24 " \
         "would silently corrupt neighbor ids"
     W = -(-7 * C // 128) * 128
-    cx = jnp.floor(px * inv_r).astype(jnp.int32)
-    cy = jnp.floor(py * inv_r).astype(jnp.int32)
+    cx = jnp.floor(px * inv_s).astype(jnp.int32)
+    cy = jnp.floor(py * inv_s).astype(jnp.int32)
     h = _grid_hash(cx, cy, Gx, Gy)
     iota = jnp.arange(N, dtype=jnp.int32)
     hs, order = jax.lax.sort_key_val(h, iota)
@@ -335,19 +365,21 @@ def _grid_build_table(px, py, vx, vy, inv_r, H, Gx, Gy, C, v=None):
     seg_start = jax.lax.cummax(jnp.where(flag > 0, iota, 0))
     rank = iota - seg_start
     ok = jnp.max(rank) < C
-    slot = hs * C + jnp.minimum(rank, C - 1)
     f = jnp.stack([px, py, vx, vy, jnp.ones_like(px),
                    iota.astype(px.dtype),
                    jnp.zeros_like(px) if v is None else v], axis=-1)
     fs = jnp.take(f, order, axis=0)
-    table = jnp.zeros((H * C, 7), px.dtype).at[slot].set(fs, mode="drop")
-    cell_rows = jnp.swapaxes(table.reshape(H, C, 7), -1, -2) \
-        .reshape(H, 7 * C)
-    if 7 * C < W:
-        cell_rows = jnp.concatenate(
-            [cell_rows, jnp.zeros((H, W - 7 * C), px.dtype)], axis=1)
+    # ONE fancy scatter straight into the feature-blocked flat layout:
+    # agent (sorted) i's feature f lands at hs*W + f*C + min(rank, C-1).
+    # The previous (H*C, 7) row scatter + (H,C,7)->(H,7,C) transpose
+    # relayout cost 38.7 ms at N=262k (tile padding); this is 17.3 ms,
+    # bit-identical (probe_build_variants.json).
+    base = hs * W + jnp.minimum(rank, C - 1)
+    pos = base[:, None] + (jnp.arange(7, dtype=jnp.int32) * C)[None, :]
+    flat = jnp.zeros((H * W,), px.dtype).at[pos].set(fs, mode="drop")
+    cell_rows = flat.reshape(H, W)
     # flat (H*W) position of the v lane for each SORTED agent
-    vpos = (slot // C) * W + 6 * C + slot % C
+    vpos = base + 6 * C
     return cell_rows, cx, cy, ok, (order, vpos)
 
 
@@ -372,13 +404,19 @@ def _gridwin_enabled() -> bool:
 
 def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
                Gx, Gy, C, r2, d_max, n_total, use_kernel=None,
-               wv_only=False):
+               wv_only=False, inv_s=None, factor: int = 1):
     """Neighbor extraction + 6-feature states for ONE set of rows
     against the global cell table: (idx (rows, d_max) int32 GLOBAL ids,
     val01 (rows, d_max), states (6, rows), wv (rows,) = the masked sum
     of the table's v feature — one W @ v_prev power-iteration matvec
     folded into the window pass). wv_only=True computes just wv (the
     candidate-window matvec for subsequent power iterations).
+
+    factor 1: the agent's 3x3 cell neighborhood (side-r cells, 9
+    windows). factor >= 2: side-factor*r cells — every neighbor within
+    r lies in the 2x2 window based at floor((x - r)/s) since the
+    window spans 2r/s <= 1 cells per axis (4 gathers from a table
+    factor^2 smaller; needs inv_s = 1/(factor*r)).
 
     On TPU the post-gather candidate path runs in the fused Pallas
     kernel (ops.gridwin v2, zero re-layout — the pure-XLA formulation
@@ -387,33 +425,43 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     GNT_GRIDWIN=1 opts the interpret-mode kernel in for tests)."""
     import jax.numpy as jnp
     rows = pxc.shape[0]
-    M = 9 * C
-    offs = jnp.array([(dx, dy) for dx in (-1, 0, 1)
-                      for dy in (-1, 0, 1)], jnp.int32)
-    # 9 neighborhood windows (deduped when the modular map aliases two
-    # of the agent's own 9 cells — a duplicated window would
-    # double-count its candidates)
-    h9 = _grid_hash(cxc[:, None] + offs[None, :, 0],
-                    cyc[:, None] + offs[None, :, 1], Gx, Gy)  # (rows, 9)
+    W = cell_rows.shape[1]
+    if factor == 1:
+        offs = jnp.array([(dx, dy) for dx in (-1, 0, 1)
+                          for dy in (-1, 0, 1)], jnp.int32)
+        wx = cxc[:, None] + offs[None, :, 0]
+        wy = cyc[:, None] + offs[None, :, 1]
+    else:
+        assert inv_s is not None
+        offs = jnp.array([(dx, dy) for dx in (0, 1)
+                          for dy in (0, 1)], jnp.int32)
+        bx = jnp.floor(pxc * inv_s - 1.0 / factor).astype(jnp.int32)
+        by = jnp.floor(pyc * inv_s - 1.0 / factor).astype(jnp.int32)
+        wx = bx[:, None] + offs[None, :, 0]
+        wy = by[:, None] + offs[None, :, 1]
+    n_win = offs.shape[0]
+    M = n_win * C
+    # neighborhood windows (deduped when the modular map aliases two of
+    # the agent's own windows — a duplicated window would double-count
+    # its candidates)
+    h9 = _grid_hash(wx, wy, Gx, Gy)                  # (rows, n_win)
     dup = (h9[:, :, None] == h9[:, None, :])
     first = jnp.argmax(dup, axis=-1)
-    keep = (first == jnp.arange(9)[None, :])         # (rows, 9)
+    keep = (first == jnp.arange(n_win)[None, :])     # (rows, n_win)
 
     if use_kernel is None:
         use_kernel = _gridwin_enabled()
-    if use_kernel and cell_rows.shape[1] != 128:
-        use_kernel = False        # 7*cell_cap > 128: XLA path only
     if use_kernel:
         from graph_neural_networks_tpu.ops import gridwin
-        # window-major gather: (9*rows, 128) -> (9, rows, 128) is a
+        # window-major gather: (n_win*rows, W) -> (n_win, rows, W) is a
         # major-dim split (layout no-op) and the kernel's operand as-is
         cand = jnp.take(cell_rows, jnp.swapaxes(h9, 0, 1).reshape(-1),
-                        axis=0).reshape(9, rows, 128)
+                        axis=0).reshape(n_win, rows, W)
         own = jnp.concatenate(
             [pxc[:, None], pyc[:, None], vxc[:, None], vyc[:, None],
              own_ids.astype(pxc.dtype)[:, None],
              keep.astype(pxc.dtype),
-             jnp.zeros((rows, 128 - 14), pxc.dtype)], axis=1)
+             jnp.zeros((rows, 128 - 5 - n_win), pxc.dtype)], axis=1)
         rt = _fit_chunk(rows, 512)
         out = gridwin.grid_window(cand, own, C=C, r2=r2, d_max=d_max,
                                   row_tile=rt, wv_only=wv_only)
@@ -426,10 +474,10 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
         return idx, val, st, wv
 
     # pure-XLA window path (CPU / GNT_NO_GRIDWIN)
-    cand_flat = jnp.take(cell_rows, h9.reshape(-1), axis=0)  # (rows*9,W)
-    cand3 = cand_flat.reshape(rows, 9, cell_rows.shape[1])
+    cand_flat = jnp.take(cell_rows, h9.reshape(-1), axis=0)
+    cand3 = cand_flat.reshape(rows, n_win, W)
     # ONE explicit re-layout to feature-major (7, rows, M): per-feature
-    # slices of the raw (rows, 9, 7, C) layout tile-pad ~14x on the
+    # slices of the raw (rows, n_win, 7, C) layout tile-pad ~14x on the
     # (7, C) minor dims (probe round 3)
     cand = jnp.stack([cand3[..., f * C:(f + 1) * C] for f in range(7)],
                      axis=0).reshape(7, rows, M)
@@ -439,8 +487,12 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     dpx = pxc[:, None] - cpx
     dpy = pyc[:, None] - cpy
     d2 = dpx ** 2 + dpy ** 2
-    m = ((valid > 0) & (d2 <= r2) & (jnp.exp(-d2) > ZERO_TOL)
-         & (cid != own_ids[:, None]))
+    m = (valid > 0) & (d2 <= r2) & (cid != own_ids[:, None])
+    if r2 > -np.log(ZERO_TOL):
+        # exp(-d2) > tol is implied by d2 <= r2 below this bound — the
+        # kernel (ops.gridwin) applies the same static shortcut, so the
+        # two masks stay bit-identical
+        m &= jnp.exp(-d2) > ZERO_TOL
     mf = m.astype(pxc.dtype)
     wv = jnp.sum(cand[6] * mf, axis=-1)
     if wv_only:
@@ -473,7 +525,8 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
 
 def _grid_rows_chunked(px, py, vx, vy, cx, cy, lo0, n_rows, chunk,
                        cell_rows, Gx, Gy, C, r2, d_max, n_total,
-                       use_kernel=None, wv_only=False):
+                       use_kernel=None, wv_only=False, inv_s=None,
+                       factor: int = 1):
     """_grid_rows over rows [lo0, lo0+n_rows) of the (full) agent
     arrays, in chunks (lax.map). lo0 may be traced (sharded block
     offset). Requires n_rows % chunk == 0."""
@@ -486,7 +539,8 @@ def _grid_rows_chunked(px, py, vx, vy, cx, cy, lo0, n_rows, chunk,
         return _grid_rows(sl(px), sl(py), sl(vx), sl(vy),
                           sl(cx), sl(cy), own, cell_rows,
                           Gx, Gy, C, r2, d_max, n_total,
-                          use_kernel=use_kernel, wv_only=wv_only)
+                          use_kernel=use_kernel, wv_only=wv_only,
+                          inv_s=inv_s, factor=factor)
 
     if n_rows == chunk:
         return window(lo0)
@@ -1187,14 +1241,14 @@ class Flocking(Data):
         step_mode = bool(step_mode and hasattr(policy, "rollout_step"))
         use_grid = env_grid is not None
         if use_grid:
-            gts, gcc = (None, 16) if env_grid is True else env_grid
+            gts, gcc, gcf = _parse_env_grid(env_grid)
 
         def env_step(pos, vel, v, N, iters):
             D = min(ell_degree, N)
             if use_grid:
                 return _jnp_env_step_grid(
                     pos, vel, r, D, v, lam_iters=iters,
-                    table_size=gts, cell_cap=gcc)
+                    table_size=gts, cell_cap=gcc, cell_factor=gcf)
             chunk = _fit_chunk(N, env_chunk)
             i, s, x, v = _jnp_env_step_chunked(
                 pos, vel, r, D, chunk, v, lam_iters=iters)

@@ -39,6 +39,7 @@ data.flocking._grid_rows (parity-tested in tests/test_ell.py).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -49,8 +50,15 @@ ZERO_TOL = 1e-9
 ID_SENTINEL = float(2 ** 24)   # > any valid agent id (N < 2^24 asserted)
 
 
-def _make_kernel(C: int, r2: float, d_max: int, OW: int, wv_only: bool):
-    M = 9 * C
+def _make_kernel(C: int, r2: float, d_max: int, OW: int, wv_only: bool,
+                 n_win: int, W: int):
+    M = n_win * C
+    # exp(-d2) > ZERO_TOL  <=>  d2 < -ln(ZERO_TOL) (~20.7): statically
+    # implied by d2 <= r2 at flocking radii, so the 9C transcendentals
+    # per agent vanish from the mask whenever r2 is below that bound
+    # (data.flocking._grid_rows applies the same static shortcut, so
+    # kernel and XLA masks stay bit-identical)
+    need_exp = r2 > -math.log(ZERO_TOL)
 
     def kernel(cand_ref, own_ref, out_ref):
         own = own_ref[:]                              # (TA, 128)
@@ -58,38 +66,41 @@ def _make_kernel(C: int, r2: float, d_max: int, OW: int, wv_only: bool):
         ovx, ovy = own[:, 2:3], own[:, 3:4]
         oid = own[:, 4:5]
         dt = own.dtype
-        mf_p, cid_p, s_acc, wv = [], [], None, None
-        for w in range(9):
-            blk = cand_ref[w]                         # (TA, 128)
-            cpx, cpy = blk[:, 0 * C:1 * C], blk[:, 1 * C:2 * C]
-            cvx, cvy = blk[:, 2 * C:3 * C], blk[:, 3 * C:4 * C]
-            valid = blk[:, 4 * C:5 * C] * own[:, 5 + w:6 + w]
-            cid = blk[:, 5 * C:6 * C]
-            cv = blk[:, 6 * C:7 * C]
-            dpx, dpy = opx - cpx, opy - cpy
-            d2 = dpx * dpx + dpy * dpy
-            m = ((valid > 0.0) & (d2 <= r2)
-                 & (jnp.exp(-d2) > ZERO_TOL) & (cid != oid))
-            mfw = m.astype(dt)
-            red = lambda z: jnp.sum(z, axis=1, keepdims=True)
-            wvw = red(cv * mfw)
-            wv = wvw if wv is None else wv + wvw
-            if not wv_only:
-                inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mfw
-                dvx, dvy = ovx - cvx, ovy - cvy
-                sw = [red(dvx * mfw), red(dvy * mfw),
-                      red(dpx * inv * inv), red(dpy * inv * inv),
-                      red(dpx * inv), red(dpy * inv)]
-                s_acc = sw if s_acc is None else \
-                    [a + b for a, b in zip(s_acc, sw)]
-                mf_p.append(mfw)
-                cid_p.append(cid)
+
+        # re-layout each feature to (TA, n_win*C) FIRST (7*n_win lane-
+        # copies), then run every mask/state op on M-lane arrays — the
+        # per-window formulation kept whole vregs busy on C-lane slices
+        # (12.5% lane utilization at C=16, measured ~36 ms at N=262k;
+        # this one runs the math at ~full width)
+        def fM(f):
+            return jnp.concatenate(
+                [cand_ref[w][:, f * C:(f + 1) * C]
+                 for w in range(n_win)], axis=1)
+
+        cpx, cpy = fM(0), fM(1)
+        cid = fM(5)
+        cv = fM(6)
+        valid = jnp.concatenate(
+            [cand_ref[w][:, 4 * C:5 * C] * own[:, 5 + w:6 + w]
+             for w in range(n_win)], axis=1)
+        dpx, dpy = opx - cpx, opy - cpy
+        d2 = dpx * dpx + dpy * dpy
+        m = (valid > 0.0) & (d2 <= r2) & (cid != oid)
+        if need_exp:
+            m &= jnp.exp(-d2) > ZERO_TOL
+        mf = m.astype(dt)
+        red = lambda z: jnp.sum(z, axis=1, keepdims=True)
+        wv = red(cv * mf)
         if wv_only:
             out_ref[:] = jnp.concatenate(
                 [wv, jnp.zeros((wv.shape[0], OW - 1), dt)], axis=1)
             return
-        mf = jnp.concatenate(mf_p, axis=1)            # (TA, 9C)
-        cid = jnp.concatenate(cid_p, axis=1)
+        cvx, cvy = fM(2), fM(3)
+        inv = jnp.where(d2 > ZERO_TOL, 1.0 / d2, 0.0) * mf
+        dvx, dvy = ovx - cvx, ovy - cvy
+        s_acc = [red(dvx * mf), red(dvy * mf),
+                 red(dpx * inv * inv), red(dpy * inv * inv),
+                 red(dpx * inv), red(dpy * inv)]
         # prefix-sum ranks via a lower-triangular ones matmul (MXU)
         tri = jnp.tril(jnp.ones((M, M), dt))
         rk = jax.lax.dot_general(
@@ -123,15 +134,16 @@ def _out_width(d_max: int) -> int:
 def grid_window(cand, own, *, C: int, r2: float, d_max: int,
                 row_tile: int = 512, wv_only: bool = False,
                 interpret=None):
-    """cand (9, rows, 128) window-major gathered cell rows, own
-    (rows, 128) [px py vx vy id keep*9 pad] -> (rows, OW):
-    [idx (d_max, float ids, 0-filled) | val (d_max, 0/1) | st (6) |
-    wv = (W v_prev)_row | cnt = in-degree | pad]. wv_only=True computes
-    just the masked-v reduction (the candidate-window power-iteration
-    matvec): out lane 0 = wv. interpret=None auto-enables Pallas
-    interpret mode off-TPU (CPU tests)."""
-    _, rows, W = cand.shape
-    assert W == 128 and 7 * C <= 128, (W, C)
+    """cand (n_win, rows, W) window-major gathered cell rows (n_win = 9
+    for the 3x3 side-r scheme with W=128, 4 for the 2x2 side-2r scheme
+    with W=256), own (rows, 128) [px py vx vy id keep*n_win pad] ->
+    (rows, OW): [idx (d_max, float ids, 0-filled) | val (d_max, 0/1) |
+    st (6) | wv = (W v_prev)_row | cnt = in-degree | pad]. wv_only=True
+    computes just the masked-v reduction (the candidate-window power-
+    iteration matvec): out lane 0 = wv. interpret=None auto-enables
+    Pallas interpret mode off-TPU (CPU tests)."""
+    n_win, rows, W = cand.shape
+    assert W % 128 == 0 and 7 * C <= W and n_win <= 9, (W, C, n_win)
     assert own.shape == (rows, 128), own.shape
     OW = 128 if wv_only else _out_width(d_max)
     rt = min(row_tile, rows)
@@ -139,10 +151,10 @@ def grid_window(cand, own, *, C: int, r2: float, d_max: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        _make_kernel(C, r2, d_max, OW, wv_only),
+        _make_kernel(C, r2, d_max, OW, wv_only, n_win, W),
         grid=(rows // rt,),
         in_specs=[
-            pl.BlockSpec((9, rt, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((n_win, rt, W), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -105,19 +105,19 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
 
         if env_grid is not None:
             from graph_neural_networks_tpu.data import flocking as F
-            gts, gcc = (None, 16) if env_grid is True else env_grid
-            H, Gx, Gy, Cc = F._grid_geometry(N, gts, gcc)
-            inv_r = 1.0 / comm_radius
+            gts, gcc, gcf = F._parse_env_grid(env_grid)
+            H, Gx, Gy, Cc = F._grid_geometry(N, gts, gcc, gcf)
+            inv_s = 1.0 / (gcf * comm_radius)
             gchunk = _fit_chunk(Np, 8192)
 
             def one_grid(pf_b, vf_b):
                 cell_rows, cx, cy, ok_b, _ = F._grid_build_table(
                     pf_b[0], pf_b[1], vf_b[0], vf_b[1],
-                    inv_r, H, Gx, Gy, Cc)
+                    inv_s, H, Gx, Gy, Cc)
                 i_, v_, s_, _wv = F._grid_rows_chunked(
                     pf_b[0], pf_b[1], vf_b[0], vf_b[1], cx, cy,
                     lo0, Np, gchunk, cell_rows, Gx, Gy, Cc, r2,
-                    d_max, N)
+                    d_max, N, inv_s=inv_s, factor=gcf)
                 return i_, v_, s_, ok_b
 
             idx, val01, states, oks = jax.vmap(one_grid)(pos_full,

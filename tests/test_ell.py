@@ -609,6 +609,49 @@ def test_gridwin_kernel_matches_xla_window_path():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_grid_quad_scheme_matches_3x3():
+    """The 2x2 side-2r window scheme (cell_factor=2, the env_grid=True
+    default) produces the same neighbor SETS, states and lambda as the
+    3x3 side-r scheme (neighbor order within ELL rows differs — set
+    semantics is the contract); its kernel and XLA paths bit-match."""
+    from graph_neural_networks_tpu.data import flocking as F
+    rng = np.random.default_rng(3)
+    B, N, D = 2, 96, 64
+    pos = jnp.asarray(rng.uniform(-6, 6, (B, 2, N)), jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(B, 2, N)), jnp.float32)
+    v0 = jnp.ones((B, N), jnp.float32) / np.sqrt(N)
+
+    def dense(i, s):
+        S = np.zeros((B, N, N))
+        for b in range(B):
+            np.add.at(S[b], (np.arange(N)[:, None].repeat(D, 1),
+                             np.asarray(i[b])), np.asarray(s[b]))
+        return S
+
+    def step(factor, kernel):
+        return jax.jit(lambda p, v, vv: F._jnp_env_step_grid(
+            p, v, 2.0, D, vv, lam_iters=2, cell_factor=factor,
+            use_kernel=kernel, lam_path="window"))(pos, vel, v0)
+
+    i1, s1, x1, v1, ok1 = step(1, False)
+    i2, s2, x2, v2, ok2 = step(2, False)
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_allclose(dense(i2, s2), dense(i1, s1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=1e-4, atol=1e-6)
+    # quad kernel path == quad XLA path, bit-exact on idx/val
+    i2k, s2k, x2k, v2k, ok2k = step(2, True)
+    assert bool(ok2k)
+    np.testing.assert_array_equal(np.asarray(i2k), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s2k), np.asarray(s2),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(x2k), np.asarray(x2),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_grid_window_lambda_matches_ell_lambda():
     """_jnp_env_step_grid with the candidate-window power iteration
     (lam_path='window', kernel in interpret mode) matches the ELL-
@@ -634,5 +677,11 @@ def test_grid_window_lambda_matches_ell_lambda():
                                    rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_e),
                                    rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(v_w), np.asarray(v_e),
-                                   rtol=1e-4, atol=1e-6)
+        if iters > 0:
+            np.testing.assert_allclose(np.asarray(v_w), np.asarray(v_e),
+                                       rtol=1e-4, atol=1e-6)
+        else:
+            # fold mode: same Rayleigh lambda (tested through s_w
+            # above) but v advances one power iteration, unlike the
+            # ELL path's frozen v
+            assert not np.allclose(np.asarray(v_w), np.asarray(v_e))
