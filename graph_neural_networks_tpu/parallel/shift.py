@@ -39,50 +39,88 @@ from jax import shard_map
 from graph_neural_networks_tpu.parallel.partition import GraphPartition
 
 
-def _ext_slabs(part: GraphPartition):
-    """Per-shard halo-extended band slabs for the Pallas shard-local path.
+def _sq_slabs(part: GraphPartition):
+    """Per-shard SQUARE local band slabs + boundary-correction blocks
+    for the Pallas shard-local path.
 
-    The local contraction `y = A x_ext` (A the (nbl x nbl+2w)-block band
-    of this shard) is embedded into a square (nbl+2w)-block band matmul
-    by padding w zero output block-columns on each side — then the
-    existing differentiable Pallas kernel (ops.spmm.band_shift) computes
-    it, with the transposed slab for the VJP. Returns
-    (s_ext, s_ext_t): (P, E, nb_ext, (2w+1)*ibs, ibs) numpy arrays in
-    band_matmul layout.
+    Round-3 embedded the local (nbl x nbl+2w)-block contraction into a
+    square (nbl+2w)-block band matmul by padding w zero output block-
+    columns per side — 2w dead block-columns of executed math plus a
+    halo-extension concat per shift (+47% at n_parts=1,
+    bench_shardmap_tpu r3). Instead: run the Pallas kernel on the
+    UNEXTENDED local block with the halo-referencing slab entries
+    zeroed (band_matmul clamps out-of-range window blocks to block 0,
+    so those entries must be zero), and add the halo terms as O(w^2)
+    small block einsums fed directly by the ppermuted halos.
+
+    Returns (s_sq, s_sq_t, lo, hi):
+      s_sq / s_sq_t: (P, E, nbl, (2w+1)*ibs, ibs) band_matmul layout,
+        entries with j+k-w outside [0, nbl) zeroed (s_sq_t is the
+        transposed band for band_shift's VJP);
+      lo: (P, E, w, w, ibs, ibs) — lo[j, lb] multiplies from_left
+        block lb into output block j (= slab[j, lb-j], j <= lb < w);
+      hi: (P, E, w, w, ibs, ibs) — hi[j_rel, rb] multiplies from_right
+        block rb into output block nbl-w+j_rel
+        (= slab[nbl-w+j_rel, 2w-j_rel+rb], rb <= j_rel).
+
+    Requires nbl >= w (the ring contract; callers gate use_pallas).
     """
     import numpy as np
     Pn, E, nbl, W, ibs, _ = part.slabs.shape
     w = part.w
-    nb_ext = nbl + 2 * w
-    s_ext = np.zeros((Pn, E, nb_ext, W, ibs, ibs), np.float32)
-    s_ext[:, :, w:w + nbl] = part.slabs
-    # transpose: slab_t[j, k] = slab_ext[j+k-w, 2w-k]^T
-    s_ext_t = np.zeros_like(s_ext)
-    for j in range(nb_ext):
+    s_sq = np.array(part.slabs, np.float32, copy=True)
+    for j in range(nbl):
+        for k in range(W):
+            if not 0 <= j + k - w < nbl:
+                s_sq[:, :, j, k] = 0.0
+    s_sq_t = np.zeros_like(s_sq)
+    for j in range(nbl):
         for k in range(W):
             src = j + k - w
-            if 0 <= src < nb_ext:
-                s_ext_t[:, :, j, k] = np.swapaxes(
-                    s_ext[:, :, src, 2 * w - k], -1, -2)
-    shape = (Pn, E, nb_ext, W * ibs, ibs)
-    return s_ext.reshape(shape), s_ext_t.reshape(shape)
+            if 0 <= src < nbl:
+                s_sq_t[:, :, j, k] = np.swapaxes(
+                    s_sq[:, :, src, 2 * w - k], -1, -2)
+    lo = np.zeros((Pn, E, w, w, ibs, ibs), np.float32)
+    hi = np.zeros((Pn, E, w, w, ibs, ibs), np.float32)
+    for j in range(min(w, nbl)):
+        for lb in range(j, w):
+            lo[:, :, j, lb] = part.slabs[:, :, j, lb - j]
+    for j_rel in range(w):
+        j = nbl - w + j_rel
+        if j < 0:
+            continue
+        for rb in range(j_rel + 1):
+            hi[:, :, j_rel, rb] = part.slabs[:, :, j, 2 * w - j_rel + rb]
+    shape = (Pn, E, nbl, W * ibs, ibs)
+    return s_sq.reshape(shape), s_sq_t.reshape(shape), lo, hi
 
 
-def _pallas_local_contract(x_ext, s_ext, s_ext_t, w, ibs, nbl):
-    """Shard-local band contraction on the Pallas kernel (TPU fast path).
-
-    x_ext: (L, E, G, (nbl+2w)*ibs); s_ext/s_ext_t: (E, nb_ext,
-    (2w+1)*ibs, ibs). Differentiable via band_shift's custom VJP.
-    """
+def _pallas_local_contract(x_blk, from_left, from_right, s_sq, s_sq_t,
+                           lo, hi, w, ibs, nbl):
+    """Shard-local band contraction on the Pallas kernel (TPU fast
+    path): square local band_shift on the UNEXTENDED block + boundary-
+    correction einsums on the halos. x_blk: (L, E, G, nbl*ibs);
+    from_left/from_right: (L, E, G, w*ibs). Differentiable via
+    band_shift's custom VJP (corrections are plain einsums)."""
     from graph_neural_networks_tpu.ops import spmm
-    L, E, G, n_ext = x_ext.shape
+    L, E, G, n_loc = x_blk.shape
     outs = []
     for e in range(E):
-        xe = x_ext[:, e].reshape(L * G, n_ext)
-        ye = spmm.band_shift(xe, s_ext[e], s_ext_t[e], n_ext, w, ibs)
-        outs.append(ye.reshape(L, G, n_ext))
-    y = jnp.stack(outs, axis=1)                  # L, E, G, n_ext
-    return y[..., w * ibs:(w + nbl) * ibs]
+        xe = x_blk[:, e].reshape(L * G, n_loc)
+        ye = spmm.band_shift(xe, s_sq[e], s_sq_t[e], n_loc, w, ibs)
+        outs.append(ye.reshape(L, G, n_loc))
+    y = jnp.stack(outs, axis=1)                  # L, E, G, nbl*ibs
+    if w:
+        fl = from_left.reshape(L, E, G, w, ibs)
+        fr = from_right.reshape(L, E, G, w, ibs)
+        cl = jnp.einsum("legbn,ejbnm->legjm", fl, lo) \
+            .reshape(L, E, G, w * ibs)
+        ch = jnp.einsum("legbn,ejbnm->legjm", fr, hi) \
+            .reshape(L, E, G, w * ibs)
+        pad = [(0, 0)] * 3
+        y = (y + jnp.pad(cl, pad + [(0, (nbl - w) * ibs)])
+             + jnp.pad(ch, pad + [((nbl - w) * ibs, 0)]))
+    return y
 
 
 def _band_contract(x_ext: jnp.ndarray, slab: jnp.ndarray) -> jnp.ndarray:
@@ -136,12 +174,13 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
     # shard-local compute path: the Pallas band kernel on TPU (128-tiles),
     # the windowed block einsum elsewhere (CPU mesh tests, odd tile sizes)
     use_pallas = (mesh.devices.flat[0].platform == "tpu" and ibs == 128
-                  and halo > 0)
+                  and halo > 0 and nbl >= w)
     if use_pallas:
-        s_ext_np, s_ext_t_np = _ext_slabs(part)
-        slab_args = (jnp.asarray(s_ext_np), jnp.asarray(s_ext_t_np))
+        slab_args = tuple(jnp.asarray(a) for a in _sq_slabs(part))
         slab_specs = (P(axis, None, None, None, None),
-                      P(axis, None, None, None, None))
+                      P(axis, None, None, None, None),
+                      P(axis, None, None, None, None, None),
+                      P(axis, None, None, None, None, None))
     else:
         slab_args = (jnp.asarray(part.slabs),)
         slab_specs = (P(axis, None, None, None, None, None),)
@@ -157,9 +196,10 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
         from_left = jax.lax.ppermute(x_blk[..., -halo:], axis, fwd)
         from_right = jax.lax.ppermute(x_blk[..., :halo], axis, bwd)
         if use_pallas:
-            x_ext = jnp.concatenate([from_left, x_blk, from_right], axis=-1)
-            return _pallas_local_contract(x_ext, slabs_blk[0][0],
-                                          slabs_blk[1][0], w, ibs, nbl)
+            s_sq, s_sq_t, lo, hi = (a[0] for a in slabs_blk)
+            return _pallas_local_contract(x_blk, from_left, from_right,
+                                          s_sq, s_sq_t, lo, hi,
+                                          w, ibs, nbl)
         slab = slabs_blk[0][0]
         if nbl <= 2 * w:
             x_ext = jnp.concatenate([from_left, x_blk, from_right], axis=-1)
@@ -193,12 +233,13 @@ def sharded_gshift_allgather(mesh: Mesh, part: GraphPartition,
     bs = part.block_size
     w, nbl, ibs = part.w, part.nbl, part.inner_bs
     use_pallas = (mesh.devices.flat[0].platform == "tpu" and ibs == 128
-                  and halo > 0)
+                  and halo > 0 and nbl >= w)
     if use_pallas:
-        s_ext_np, s_ext_t_np = _ext_slabs(part)
-        slab_args = (jnp.asarray(s_ext_np), jnp.asarray(s_ext_t_np))
+        slab_args = tuple(jnp.asarray(a) for a in _sq_slabs(part))
         slab_specs = (P(axis, None, None, None, None),
-                      P(axis, None, None, None, None))
+                      P(axis, None, None, None, None),
+                      P(axis, None, None, None, None, None),
+                      P(axis, None, None, None, None, None))
     else:
         slab_args = (jnp.asarray(part.slabs),)
         slab_specs = (P(axis, None, None, None, None, None),)
@@ -214,8 +255,11 @@ def sharded_gshift_allgather(mesh: Mesh, part: GraphPartition,
         x_ext = jax.lax.dynamic_slice_in_dim(
             xp, d * bs, bs + 2 * halo, axis=-1)
         if use_pallas:
-            return _pallas_local_contract(x_ext, slabs_blk[0][0],
-                                          slabs_blk[1][0], w, ibs, nbl)
+            s_sq, s_sq_t, lo, hi = (a[0] for a in slabs_blk)
+            return _pallas_local_contract(
+                x_ext[..., halo:halo + bs], x_ext[..., :halo],
+                x_ext[..., halo + bs:], s_sq, s_sq_t, lo, hi,
+                w, ibs, nbl)
         return _band_contract(x_ext, slabs_blk[0][0])
 
     return _with_flat_leading(lambda xf: _shift(xf, *slab_args))

@@ -338,9 +338,10 @@ def test_pallas_local_contract_matches_einsum(mesh):
                                 shape=(N, N))
     part = par.partition_nodes(A, 2, order="none")
     assert part.inner_bs == 128 and part.w >= 1
-    s_ext, s_ext_t = shf._ext_slabs(part)
+    s_sq, s_sq_t, lo, hi = shf._sq_slabs(part)
     w, ibs, nbl = part.w, part.inner_bs, part.nbl
     n_ext = (nbl + 2 * w) * ibs
+    halo = w * ibs
     x_ext = jnp.asarray(rng.random((2, 1, 1, n_ext)), jnp.float32)
     slab = jnp.asarray(part.slabs[0])        # shard 0: (E, nbl, W, ibs, ibs)
     want, vjp_e = jax.vjp(lambda xe: shf._band_contract(xe, slab), x_ext)
@@ -349,8 +350,10 @@ def test_pallas_local_contract_matches_einsum(mesh):
     with pltpu.force_tpu_interpret_mode():
         got, vjp_p = jax.vjp(
             lambda xe: shf._pallas_local_contract(
-                xe, jnp.asarray(s_ext[0]), jnp.asarray(s_ext_t[0]),
-                w, ibs, nbl), x_ext)
+                xe[..., halo:halo + nbl * ibs], xe[..., :halo],
+                xe[..., halo + nbl * ibs:], jnp.asarray(s_sq[0]),
+                jnp.asarray(s_sq_t[0]), jnp.asarray(lo[0]),
+                jnp.asarray(hi[0]), w, ibs, nbl), x_ext)
         (dx_got,) = vjp_p(ct)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-3, rtol=1e-3)
