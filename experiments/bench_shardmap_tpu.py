@@ -85,6 +85,40 @@ def main():
     emit(tag="sharded_ring_p1", t_shift_ms=t_sh * 1e3,
          overhead_pct=100 * (t_sh - t_un) / t_un, uses_ring=sgso.uses_ring)
 
+    # forced-boundary variant: at n_parts=1 the boundary slabs are
+    # provably zero and the real shift skips the halo exchange; this
+    # keeps the ppermute pair + correction einsums in (with zero
+    # slabs), as the honest single-chip proxy for the per-shard work a
+    # REAL P>1 ring pays on top of ICI time
+    import functools
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as SP
+    from graph_neural_networks_tpu.parallel import shift as shf
+    s_sq, s_sq_t, lo, hi = (jnp.asarray(a) for a in shf._sq_slabs(part))
+    w_, ibs_, nbl_, halo_ = part.w, part.inner_bs, part.nbl, part.halo
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(SP(None, None, None, "graph"),
+                  SP("graph", None, None, None, None),
+                  SP("graph", None, None, None, None),
+                  SP("graph", None, None, None, None, None),
+                  SP("graph", None, None, None, None, None)),
+        out_specs=SP(None, None, None, "graph"))
+    def _forced(xb, a, b, c, d):
+        fl = jax.lax.ppermute(xb[..., -halo_:], "graph", [])
+        fr = jax.lax.ppermute(xb[..., :halo_], "graph", [])
+        return shf._pallas_local_contract(xb, fl, fr, a[0], b[0],
+                                          c[0], d[0], w_, ibs_, nbl_)
+
+    @jax.jit
+    def shf_forced(xp):
+        return jax.lax.fori_loop(
+            0, 8, lambda i, z: _forced(z, s_sq, s_sq_t, lo, hi), xp)
+    t_fb = bench(shf_forced, xp) / 8
+    emit(tag="sharded_ring_p1_forced_boundary", t_shift_ms=t_fb * 1e3,
+         overhead_pct=100 * (t_fb - t_un) / t_un)
+
     # 3. scattered sharded BCSR on chip (n_parts=1): numerics + time
     ibs = 128
     Ssc = np.zeros((N, N), np.float32)

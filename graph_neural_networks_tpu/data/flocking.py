@@ -1419,10 +1419,13 @@ class Flocking(Data):
         slowly-moving spectrum extremely well: over a 100-step N=4096
         rollout even lam_iters=1 matches a converged (64-iteration)
         reference to 1e-5 relative cost and 0.03%-of-scale positions
-        (experiments/probe_lambda_fidelity.json) — at very large N the
-        power iteration is a major cost term (each matvec ~60 ms at
-        N=262k), so lam_iters=1..2 is the recommended large-swarm
-        setting; the default 8 is kept for compatibility.
+        (experiments/probe_lambda_fidelity.json). With the grid env on
+        TPU, lam_iters=0 is the ZERO-COST "fold" mode (Rayleigh
+        quotient from the W@v matvec folded into the main window pass,
+        eigenvector still advanced) and matches the converged reference
+        to the same fidelity (5.7e-6 relative cost — the recommended
+        large-swarm setting); lam_iters>=1 adds one candidate-window
+        matvec pass each. The default 8 is kept for compatibility.
 
         history_window: for causal finite-memory controllers (K-tap
         delayed filters, aggregation GNNs) pass their memory depth — the

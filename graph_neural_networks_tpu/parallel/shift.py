@@ -100,8 +100,11 @@ def _pallas_local_contract(x_blk, from_left, from_right, s_sq, s_sq_t,
     """Shard-local band contraction on the Pallas kernel (TPU fast
     path): square local band_shift on the UNEXTENDED block + boundary-
     correction einsums on the halos. x_blk: (L, E, G, nbl*ibs);
-    from_left/from_right: (L, E, G, w*ibs). Differentiable via
-    band_shift's custom VJP (corrections are plain einsums)."""
+    from_left/from_right: (L, E, G, w*ibs), or None when the shard
+    boundary carries no in-range edges (lo/hi identically zero — the
+    corrections and the halo exchange are then skipped entirely).
+    Differentiable via band_shift's custom VJP (corrections are plain
+    einsums)."""
     from graph_neural_networks_tpu.ops import spmm
     L, E, G, n_loc = x_blk.shape
     outs = []
@@ -110,7 +113,7 @@ def _pallas_local_contract(x_blk, from_left, from_right, s_sq, s_sq_t,
         ye = spmm.band_shift(xe, s_sq[e], s_sq_t[e], n_loc, w, ibs)
         outs.append(ye.reshape(L, G, n_loc))
     y = jnp.stack(outs, axis=1)                  # L, E, G, nbl*ibs
-    if w:
+    if w and from_left is not None:
         fl = from_left.reshape(L, E, G, w, ibs)
         fr = from_right.reshape(L, E, G, w, ibs)
         cl = jnp.einsum("legbn,ejbnm->legjm", fl, lo) \
@@ -175,8 +178,14 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
     # the windowed block einsum elsewhere (CPU mesh tests, odd tile sizes)
     use_pallas = (mesh.devices.flat[0].platform == "tpu" and ibs == 128
                   and halo > 0 and nbl >= w)
+    has_boundary = True
     if use_pallas:
-        slab_args = tuple(jnp.asarray(a) for a in _sq_slabs(part))
+        sq = _sq_slabs(part)
+        # no in-range cross-shard edges anywhere (always at n_parts=1;
+        # common after RCM at small P): the halo exchange and the
+        # corrections are provably zero — skip both
+        has_boundary = bool(sq[2].any() or sq[3].any())
+        slab_args = tuple(jnp.asarray(a) for a in sq)
         slab_specs = (P(axis, None, None, None, None),
                       P(axis, None, None, None, None),
                       P(axis, None, None, None, None, None),
@@ -193,10 +202,15 @@ def sharded_gshift_ring(mesh: Mesh, part: GraphPartition,
         # x_blk: (L, E, G, bs)
         if halo == 0:
             return _band_contract(x_blk, slabs_blk[0][0])
+        if use_pallas:
+            s_sq, s_sq_t, lo, hi = (a[0] for a in slabs_blk)
+            if not has_boundary:
+                return _pallas_local_contract(
+                    x_blk, None, None, s_sq, s_sq_t, None, None,
+                    w, ibs, nbl)
         from_left = jax.lax.ppermute(x_blk[..., -halo:], axis, fwd)
         from_right = jax.lax.ppermute(x_blk[..., :halo], axis, bwd)
         if use_pallas:
-            s_sq, s_sq_t, lo, hi = (a[0] for a in slabs_blk)
             return _pallas_local_contract(x_blk, from_left, from_right,
                                           s_sq, s_sq_t, lo, hi,
                                           w, ibs, nbl)
