@@ -34,9 +34,15 @@ def main():
     ap.add_argument("--deployAgents", type=int, default=None)
     ap.add_argument("--ellDegree", type=int, default=32)
     ap.add_argument("--envGrid", action="store_true", default=True,
-                    help="O(N*k) cell-list env step (default; round 3)")
+                    help="O(N*k) cell-list env step (default; quad "
+                         "2x2-window scheme since round 4)")
     ap.add_argument("--no-envGrid", dest="envGrid", action="store_false")
-    ap.add_argument("--cellCap", type=int, default=16)
+    ap.add_argument("--cellCap", type=int, default=None,
+                    help="cell capacity (default: the quad scheme's 32)")
+    ap.add_argument("--lamIters", type=int, default=0,
+                    help="power iterations per step; 0 = the zero-pass "
+                         "Rayleigh fold on the grid env (round 4, "
+                         "fidelity probe_lambda_fidelity.json)")
     ap.add_argument("--envChunk", type=int, default=None,
                     help="row-chunk size for the O(N*deg) env step "
                          "(default: deployAgents//8, 0 disables)")
@@ -81,7 +87,11 @@ def main():
         env_chunk = max(n_deploy // 8, 1)
     if env_chunk == 0:
         env_chunk = None
-    env_grid = (None, args.cellCap) if args.envGrid else None
+    env_grid = None
+    if args.envGrid:
+        # True = the quad (2x2 side-2r) scheme defaults; an explicit
+        # --cellCap keeps the 3x3 side-r scheme at that capacity
+        env_grid = True if args.cellCap is None else (None, args.cellCap)
 
     # -- 1. train (standard pipeline, or O(N*deg) end-to-end) ---------------
     print(f"== train: {n_train_agents} agents "
@@ -127,7 +137,8 @@ def main():
     pos, vel, accel, states, graphs = env.compute_trajectory(
         ip, iv, deploy_T_s, archit=arch, params=params,
         history_window=arch.causal_window, ell_degree=args.ellDegree,
-        env_chunk=env_chunk, env_grid=env_grid, lam_method="power")
+        env_chunk=env_chunk, env_grid=env_grid, lam_method="power",
+        lam_iters=args.lamIters)
     t_roll = time.perf_counter() - t0
     cost = float(env.evaluate(vel=vel))
     T_steps = vel.shape[1]

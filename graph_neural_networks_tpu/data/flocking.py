@@ -227,8 +227,10 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     inv_s = 1.0 / (cell_factor * comm_radius)
     if use_kernel is None:
         use_kernel = _gridwin_enabled()
-    win_lam = (lam_path == "window"
-               or (lam_path == "auto" and use_kernel))
+    # 'auto' = the window lambda on every grid path (kernel or XLA):
+    # lam_iters=0 is then the zero-pass fold everywhere, and the ELL
+    # matvec (which would freeze v at lam_iters=0) stays opt-in
+    win_lam = lam_path in ("auto", "window")
     # agent-chunked window math: all big intermediates are (chunk, M)-
     # shaped — minor dim M=9C, so the (8,128) tiling pads ~1.8x instead
     # of the ~14x a (N,9,C,6) layout costs (a full-N layout at 262k
