@@ -67,17 +67,21 @@ def main():
                             dimReadout=[2], dimEdgeFeatures=1)
     params = net.init(jax.random.PRNGKey(1), N=64, T=4)
 
-    # components
+    # components — consume EVERY output: returning slices lets XLA
+    # dead-code-eliminate part of the env (round-4 finding; the round-3
+    # version of this probe under-measured components this way)
+    def consume(i, s, x, v, ok):
+        return (jnp.sum(i.astype(jnp.float32)) + jnp.sum(s) + jnp.sum(x)
+                + jnp.sum(v) + ok.astype(jnp.float32))
+
     def env_only(pos, vel, v0):
-        i, s, x, v, ok = F._jnp_env_step_grid(pos, vel, 2.0, D, v0,
-                                              lam_iters=2)
-        return jnp.sum(s[:, :, 0]) + jnp.sum(x[:, 0]) + jnp.sum(v)
+        return consume(*F._jnp_env_step_grid(pos, vel, 2.0, D, v0,
+                                             lam_iters=2))
     emit(tag="env_grid_lam2", t_ms=timeit(env_only, pos, vel, v0))
 
     def env_lam0(pos, vel, v0):
-        i, s, x, v, ok = F._jnp_env_step_grid(pos, vel, 2.0, D, v0,
-                                              lam_iters=0)
-        return jnp.sum(s[:, :, 0]) + jnp.sum(x[:, 0])
+        return consume(*F._jnp_env_step_grid(pos, vel, 2.0, D, v0,
+                                             lam_iters=0))
     emit(tag="env_grid_lam0", t_ms=timeit(env_lam0, pos, vel, v0))
 
     # a realistic graph + state for the policy
@@ -93,28 +97,38 @@ def main():
         return jnp.sum(y)
     emit(tag="policy_step", t_ms=timeit(policy_only, x0, i0, s0, pstate))
 
-    # the full step_fn via _chunked_pieces (what the scan runs)
+    # the full step_fn via _chunked_pieces (what the scan runs).
+    # MARGINAL-step method (round 4): a short chain divided by its
+    # length silently amortizes init_fn's lam_iters=32 cold start
+    # (~1.4 s at 262k) into the per-step number — that arithmetic was
+    # the round-3 "1.3x scan residual" (probe_gridwin_internals).
     init_fn, step_fn = env._chunked_pieces(
         net.causal_window, net, D, None, 2, step_mode=True,
         env_grid=True)
 
-    def full_step_chain(params, pos, vel):
-        carry, _ = init_fn(pos, vel)
+    def chain(T):
+        def f(params, pos, vel):
+            carry, _ = init_fn(pos, vel)
 
-        def body(c, _):
-            return step_fn(params, c)
-        carry, ys = jax.lax.scan(body, carry, None, length=REPEAT)
-        return jnp.sum(ys[0][:, :, 0, 0])
-    g = jax.jit(full_step_chain)
-    r = g(params, pos, vel)
-    jax.block_until_ready(r)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+            def body(c, _):
+                return step_fn(params, c)
+            carry, ys = jax.lax.scan(body, carry, None, length=T)
+            return sum(jnp.sum(jnp.asarray(l, jnp.float32))
+                       for l in jax.tree_util.tree_leaves((carry, ys)))
+        g = jax.jit(f)
         r = g(params, pos, vel)
         jax.block_until_ready(r)
-        best = min(best, time.perf_counter() - t0)
-    emit(tag="full_scan_step", t_ms=best / REPEAT * 1e3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = g(params, pos, vel)
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+    t_short, t_long = chain(REPEAT), chain(5 * REPEAT)
+    emit(tag="full_scan_step_marginal",
+         t_ms=(t_long - t_short) / (4 * REPEAT),
+         t_chain_short_ms=t_short, t_chain_long_ms=t_long)
 
 
 if __name__ == "__main__":
