@@ -170,7 +170,8 @@ def _ell_power_lambda(idx, val, v_prev, lam_iters: int):
 def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
                        lam_iters: int = 8, table_size=None,
                        cell_cap: int = 16, use_kernel=None,
-                       lam_path: str = "auto", cell_factor: int = 1):
+                       lam_path: str = "auto", cell_factor: int = 1,
+                       payload=None):
     """One O(N·k) cell-list environment step — the TPU-native spatial
     hash grid replacing the O(N²) all-pairs step for very large swarms.
 
@@ -203,6 +204,20 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     pos/vel: (B,2,N); v_prev: (B,N). Returns (idx (B,N,D) int32,
     val_norm (B,N,D), states (B,6,N), v (B,N), ok ()).
 
+    payload (B,N,P) rides the cell table as P extra feature blocks and
+    the same window pass additionally returns its NORMALIZED graph
+    shift shifted = (W/lambda) @ payload (B,N,P) before ``ok`` — the
+    fused-policy rollout: the policy's delayed tap registers
+    (models.architectures_time.rollout_payload) are shifted by the
+    step's own neighbor exchange, replacing the separate O(N·d_max)
+    ELL register gather entirely (at N=1M that gather's padded
+    intermediate alone is ~9 GB). The payload shift sums the
+    UNTRUNCATED in-range neighbor mask, so it equals the ELL shift
+    exactly whenever d_max covers the true max in-degree (the step's
+    existing exactness condition); float association differs
+    (candidate order vs ELL-slot order). Requires the window-lambda
+    path (lam_path 'auto'/'window').
+
     lambda_max: with the fused window kernel (lam_path='window', the
     'auto' choice whenever use_kernel), the FIRST power-iteration
     matvec W @ v_prev is folded into the main window pass for free
@@ -231,6 +246,10 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     # lam_iters=0 is then the zero-pass fold everywhere, and the ELL
     # matvec (which would freeze v at lam_iters=0) stays opt-in
     win_lam = lam_path in ("auto", "window")
+    P = 0 if payload is None else int(payload.shape[-1])
+    assert P == 0 or win_lam, \
+        "the fused payload shift rides the window-lambda pass " \
+        "(lam_path 'auto'/'window')"
     # agent-chunked window math: all big intermediates are (chunk, M)-
     # shaped — minor dim M=9C, so the (8,128) tiling pads ~1.8x instead
     # of the ~14x a (N,9,C,6) layout costs (a full-N layout at 262k
@@ -239,19 +258,28 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     # the kernel result — but inside lax.map XLA stack-allocates the
     # kernel result (the kernel itself asks for ~24 MB of VMEM at
     # row_tile=512 — above the 16 MB scoped default, raised via
-    # CompilerParams.vmem_limit_bytes in ops.gridwin).
-    chunk = _fit_chunk(N, 65536 if use_kernel else 8192)
+    # CompilerParams.vmem_limit_bytes in ops.gridwin). The chunk
+    # budget scales inversely with the table row width so the
+    # per-chunk gather workspace stays bounded when payload blocks
+    # widen the rows.
+    Wt = -(-(7 + P) * C // 128) * 128
+    chunk = _fit_chunk(
+        N, max(4096, 65536 * 256 // Wt) if use_kernel else 8192)
 
-    def one(pos_b, vel_b, v0_b):
+    def one(pos_b, vel_b, v0_b, pay_b=None):
         px, py = pos_b[0], pos_b[1]
         vx, vy = vel_b[0], vel_b[1]
         cell_rows, cx, cy, ok, (order, vpos) = _grid_build_table(
             px, py, vx, vy, inv_s, H, Gx, Gy, C,
-            v=v0_b if win_lam else None)
-        idx, val, states, wv = _grid_rows_chunked(
+            v=v0_b if win_lam else None, pay=pay_b)
+        rows_out = _grid_rows_chunked(
             px, py, vx, vy, cx, cy, 0, N, chunk, cell_rows,
             Gx, Gy, C, r2, d_max, N, use_kernel=use_kernel,
-            inv_s=inv_s, factor=cell_factor)
+            inv_s=inv_s, factor=cell_factor, n_pay=P)
+        if P:
+            idx, val, states, wv, wpay = rows_out
+        else:
+            idx, val, states, wv = rows_out
         if not win_lam:
             return idx, val, states, ok
         flat = cell_rows.reshape(-1)
@@ -284,9 +312,15 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
                     0, lam_iters - 1, lambda i, vb: nrm(wv_pass(vb)), v)
             lam = jnp.dot(v, wv_pass(v))
         lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
+        if P:
+            return idx, val / lam, states, v, wpay / lam, ok
         return idx, val / lam, states, v, ok
 
     if win_lam:
+        if P:
+            idx, val, states, v, wpay, ok = jax.vmap(one)(
+                pos, vel, v_prev, payload)
+            return idx, val, states, v, wpay, jnp.all(ok)
         idx, val, states, v, ok = jax.vmap(one)(pos, vel, v_prev)
         return idx, val, states, v, jnp.all(ok)
     idx, val, states, ok = jax.vmap(one)(pos, vel, v_prev)
@@ -334,18 +368,21 @@ def _grid_hash(cx, cy, Gx, Gy):
             + Gx * jnp.remainder(cy, Gy)).astype(jnp.int32)
 
 
-def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None):
+def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None,
+                      pay=None):
     """Bin all N agents into the cell table. Returns (cell_rows
-    (H, W), cx (N,), cy (N,), ok, (order, vpos)) with W = 7C rounded
-    up to a multiple of 128 lanes. Table rows are FEATURE-BLOCKED:
-    [px*C | py*C | vx*C | vy*C | valid*C | id*C | v*C | pad] — a
-    per-feature candidate block slices out contiguously, and for
-    7C <= 128 (W = 128) the window-major gather output IS the fused
+    (H, W), cx (N,), cy (N,), ok, (order, vpos)) with W = (7+P)C
+    rounded up to a multiple of 128 lanes. Table rows are
+    FEATURE-BLOCKED: [px*C | py*C | vx*C | vy*C | valid*C | id*C | v*C
+    | pay*C x P | pad] — a per-feature candidate block slices out
+    contiguously, and the window-major gather output IS the fused
     window kernel's operand with zero re-layout (ops.gridwin v2).
     ``v`` (N,) fills the 7th block (the power-iteration eigenvector,
-    so the kernel folds one W@v matvec into the main pass); (order,
-    vpos) lets later matvec passes re-scatter an updated v into the
-    same slots: ``flat_table.at[vpos].set(v[order])``."""
+    so the kernel folds one W@v matvec into the main pass); ``pay``
+    (N, P) fills P further blocks (the policy's tap registers, so the
+    same pass emits their graph shift — the fused-policy rollout).
+    (order, vpos) lets later matvec passes re-scatter an updated v
+    into the same slots: ``flat_table.at[vpos].set(v[order])``."""
     import jax
     import jax.numpy as jnp
     N = px.shape[0]
@@ -354,7 +391,8 @@ def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None):
     assert N < 2 ** 24, \
         f"grid env stores agent ids in float32 cells; N={N} >= 2^24 " \
         "would silently corrupt neighbor ids"
-    W = -(-7 * C // 128) * 128
+    P = 0 if pay is None else pay.shape[-1]
+    W = -(-(7 + P) * C // 128) * 128
     cx = jnp.floor(px * inv_s).astype(jnp.int32)
     cy = jnp.floor(py * inv_s).astype(jnp.int32)
     h = _grid_hash(cx, cy, Gx, Gy)
@@ -367,9 +405,12 @@ def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None):
     seg_start = jax.lax.cummax(jnp.where(flag > 0, iota, 0))
     rank = iota - seg_start
     ok = jnp.max(rank) < C
-    f = jnp.stack([px, py, vx, vy, jnp.ones_like(px),
-                   iota.astype(px.dtype),
-                   jnp.zeros_like(px) if v is None else v], axis=-1)
+    feats = [px, py, vx, vy, jnp.ones_like(px),
+             iota.astype(px.dtype),
+             jnp.zeros_like(px) if v is None else v]
+    f = jnp.stack(feats, axis=-1)
+    if P:
+        f = jnp.concatenate([f, pay.astype(px.dtype)], axis=-1)
     fs = jnp.take(f, order, axis=0)
     # ONE fancy scatter straight into the feature-blocked flat layout:
     # agent (sorted) i's feature f lands at hs*W + f*C + min(rank, C-1).
@@ -377,7 +418,7 @@ def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None):
     # relayout cost 38.7 ms at N=262k (tile padding); this is 17.3 ms,
     # bit-identical (probe_build_variants.json).
     base = hs * W + jnp.minimum(rank, C - 1)
-    pos = base[:, None] + (jnp.arange(7, dtype=jnp.int32) * C)[None, :]
+    pos = base[:, None] + (jnp.arange(7 + P, dtype=jnp.int32) * C)[None]
     flat = jnp.zeros((H * W,), px.dtype).at[pos].set(fs, mode="drop")
     cell_rows = flat.reshape(H, W)
     # flat (H*W) position of the v lane for each SORTED agent
@@ -406,13 +447,19 @@ def _gridwin_enabled() -> bool:
 
 def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
                Gx, Gy, C, r2, d_max, n_total, use_kernel=None,
-               wv_only=False, inv_s=None, factor: int = 1):
+               wv_only=False, inv_s=None, factor: int = 1,
+               n_pay: int = 0):
     """Neighbor extraction + 6-feature states for ONE set of rows
     against the global cell table: (idx (rows, d_max) int32 GLOBAL ids,
     val01 (rows, d_max), states (6, rows), wv (rows,) = the masked sum
     of the table's v feature — one W @ v_prev power-iteration matvec
     folded into the window pass). wv_only=True computes just wv (the
     candidate-window matvec for subsequent power iterations).
+    n_pay>0 appends wpay (rows, n_pay): the masked sums of the table's
+    payload blocks — the UNTRUNCATED graph shift of each payload
+    feature (the fused-policy register shift; truncation-free like wv,
+    so it matches the ELL shift exactly whenever d_max covers the true
+    max in-degree).
 
     factor 1: the agent's 3x3 cell neighborhood (side-r cells, 9
     windows). factor >= 2: side-factor*r cells — every neighbor within
@@ -464,25 +511,32 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
              own_ids.astype(pxc.dtype)[:, None],
              keep.astype(pxc.dtype),
              jnp.zeros((rows, 128 - 5 - n_win), pxc.dtype)], axis=1)
-        rt = _fit_chunk(rows, 512)
+        # scale the row tile down as the table row widens (payload
+        # blocks) to keep the kernel's VMEM block under ~16 MB
+        rt = _fit_chunk(rows, 512 if W <= 2048 else 256)
         out = gridwin.grid_window(cand, own, C=C, r2=r2, d_max=d_max,
-                                  row_tile=rt, wv_only=wv_only)
+                                  row_tile=rt, wv_only=wv_only,
+                                  n_pay=n_pay)
         if wv_only:
             return out[:, 0]
         idx = out[:, :d_max].astype(jnp.int32)
         val = out[:, d_max:2 * d_max]
         st = jnp.swapaxes(out[:, 2 * d_max:2 * d_max + 6], 0, 1)
         wv = out[:, 2 * d_max + 6]
+        if n_pay:
+            wpay = out[:, 2 * d_max + 8:2 * d_max + 8 + n_pay]
+            return idx, val, st, wv, wpay
         return idx, val, st, wv
 
     # pure-XLA window path (CPU / GNT_NO_GRIDWIN)
+    nf = 7 + n_pay
     cand_flat = jnp.take(cell_rows, h9.reshape(-1), axis=0)
     cand3 = cand_flat.reshape(rows, n_win, W)
-    # ONE explicit re-layout to feature-major (7, rows, M): per-feature
-    # slices of the raw (rows, n_win, 7, C) layout tile-pad ~14x on the
-    # (7, C) minor dims (probe round 3)
-    cand = jnp.stack([cand3[..., f * C:(f + 1) * C] for f in range(7)],
-                     axis=0).reshape(7, rows, M)
+    # ONE explicit re-layout to feature-major (nf, rows, M): per-feature
+    # slices of the raw (rows, n_win, nf, C) layout tile-pad ~14x on the
+    # (nf, C) minor dims (probe round 3)
+    cand = jnp.stack([cand3[..., f * C:(f + 1) * C] for f in range(nf)],
+                     axis=0).reshape(nf, rows, M)
     cpx, cpy, cvx, cvy = cand[0], cand[1], cand[2], cand[3]
     valid = cand[4] * jnp.repeat(keep.astype(pxc.dtype), C, axis=-1)
     cid = cand[5].astype(jnp.int32)              # exact: N < 2^24
@@ -522,13 +576,17 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     idx = jnp.min(candidates, axis=-1)               # (rows, d_max)
     val = (idx < n_total).astype(pxc.dtype)
     idx = jnp.where(idx < n_total, idx, 0)
+    if n_pay:
+        wpay = jnp.stack([red(cand[7 + p] * mf) for p in range(n_pay)],
+                         axis=-1)                    # (rows, n_pay)
+        return idx, val, st, wv, wpay
     return idx, val, st, wv
 
 
 def _grid_rows_chunked(px, py, vx, vy, cx, cy, lo0, n_rows, chunk,
                        cell_rows, Gx, Gy, C, r2, d_max, n_total,
                        use_kernel=None, wv_only=False, inv_s=None,
-                       factor: int = 1):
+                       factor: int = 1, n_pay: int = 0):
     """_grid_rows over rows [lo0, lo0+n_rows) of the (full) agent
     arrays, in chunks (lax.map). lo0 may be traced (sharded block
     offset). Requires n_rows % chunk == 0."""
@@ -542,13 +600,19 @@ def _grid_rows_chunked(px, py, vx, vy, cx, cy, lo0, n_rows, chunk,
                           sl(cx), sl(cy), own, cell_rows,
                           Gx, Gy, C, r2, d_max, n_total,
                           use_kernel=use_kernel, wv_only=wv_only,
-                          inv_s=inv_s, factor=factor)
+                          inv_s=inv_s, factor=factor, n_pay=n_pay)
 
     if n_rows == chunk:
         return window(lo0)
     los = lo0 + jnp.arange(n_rows // chunk, dtype=jnp.int32) * chunk
     if wv_only:
         return jax.lax.map(window, los).reshape(n_rows)
+    if n_pay:
+        idxs, vals, sts, wvs, wps = jax.lax.map(window, los)
+        return (idxs.reshape(n_rows, d_max),
+                vals.reshape(n_rows, d_max),
+                jnp.moveaxis(sts, 0, 1).reshape(6, n_rows),
+                wvs.reshape(n_rows), wps.reshape(n_rows, n_pay))
     idxs, vals, sts, wvs = jax.lax.map(window, los)
     return (idxs.reshape(n_rows, d_max), vals.reshape(n_rows, d_max),
             jnp.moveaxis(sts, 0, 1).reshape(6, n_rows),
@@ -1079,8 +1143,10 @@ class Flocking(Data):
         import jax.numpy as jnp
         from graph_neural_networks_tpu.ops import ell as ell_lib
         step_mode = bool(step_mode and hasattr(policy, "rollout_step"))
+        import os
         key = (T, w, id(policy), ell_degree, lam_method, env_chunk,
-               lam_iters, step_mode, env_grid)
+               lam_iters, step_mode, env_grid,
+               bool(os.environ.get("GNT_NO_FUSED_POLICY")))
         cache = getattr(self, "_scan_cache", None)
         if cache is None:
             cache = self._scan_cache = {}
@@ -1234,7 +1300,22 @@ class Flocking(Data):
         step; (table_size, cell_cap) or True uses the O(N·k) cell-list
         grid step (``_jnp_env_step_grid``), adding a running exactness
         flag ``ok`` (False iff some hash cell overflowed cell_cap at
-        some step) as the last carry element."""
+        some step) as the last carry element.
+
+        FUSED-POLICY mode (grid + step_mode + a payload-capable policy
+        with one edge feature, the default — GNT_NO_FUSED_POLICY=1
+        opts out): the policy's tap registers ride the grid env's cell
+        table as payload feature blocks and the env's own window pass
+        emits their graph shift (S_t @ registers), so the policy's
+        separate O(N·d_max)-row ELL register gather disappears from
+        the step entirely (at N=1M its padded intermediate alone is
+        ~9 GB — the fused step is both faster and the only way that
+        size fits). carry = (pos, vel, x_t, shifted-registers,
+        policy-state, eigenvector, ok); the env's ELL graph (idx/val)
+        is still computed for the trajectory outputs. Same float-
+        association and d_max-coverage caveats as the window lambda
+        (see _jnp_env_step_grid)."""
+        import os
         import jax.numpy as jnp
         from graph_neural_networks_tpu.ops import ell as ell_lib
         dt = self.samplingTime
@@ -1244,13 +1325,20 @@ class Flocking(Data):
         use_grid = env_grid is not None
         if use_grid:
             gts, gcc, gcf = _parse_env_grid(env_grid)
+        fused = (step_mode and use_grid
+                 and not os.environ.get("GNT_NO_FUSED_POLICY")
+                 and hasattr(policy, "rollout_step_shifted")
+                 and hasattr(policy, "rollout_payload")
+                 and getattr(policy, "E", None) == 1
+                 and getattr(policy, "payload_width", 0) > 0)
 
-        def env_step(pos, vel, v, N, iters):
+        def env_step(pos, vel, v, N, iters, payload=None):
             D = min(ell_degree, N)
             if use_grid:
                 return _jnp_env_step_grid(
                     pos, vel, r, D, v, lam_iters=iters,
-                    table_size=gts, cell_cap=gcc, cell_factor=gcf)
+                    table_size=gts, cell_cap=gcc, cell_factor=gcf,
+                    payload=payload)
             chunk = _fit_chunk(N, env_chunk)
             i, s, x, v = _jnp_env_step_chunked(
                 pos, vel, r, D, chunk, v, lam_iters=iters)
@@ -1263,7 +1351,13 @@ class Flocking(Data):
             i0, s0, x0, v0, ok = env_step(
                 init_pos, init_vel, v0, N,
                 max(lam_iters, 32))             # cold start: converge
-            if step_mode:
+            if fused:
+                # zero registers shift to zero: no payload pass needed
+                pstate = policy.rollout_init(None, B, N)
+                sh0 = jnp.zeros_like(
+                    policy.rollout_payload(pstate).reshape(B, N, -1))
+                carry = (init_pos, init_vel, x0, sh0, pstate, v0)
+            elif step_mode:
                 pstate = policy.rollout_init(None, B, N)
                 carry = (init_pos, init_vel, x0, i0, s0, pstate, v0)
             else:
@@ -1280,12 +1374,18 @@ class Flocking(Data):
         def step_fn(params, carry):
             if use_grid:
                 *carry, ok = carry
-            if step_mode:
+            if fused:
+                pos_t, vel_t, x_t, sh_t, pstate, v = carry
+            elif step_mode:
                 pos_t, vel_t, x_t, i_t, s_t, pstate, v = carry
             else:
                 pos_t, vel_t, xw, iw, vw, v = carry
             B, _, N = pos_t.shape
-            if step_mode:
+            if fused:
+                pstate, y = policy.rollout_step_shifted(
+                    params, pstate, x_t, sh_t)
+                a = jnp.clip(y, -a_max, a_max)
+            elif step_mode:
                 pstate, y = policy.rollout_step(
                     params, pstate, x_t, ell_lib.EllGso(i_t, s_t[:, None]))
                 a = jnp.clip(y, -a_max, a_max)
@@ -1294,16 +1394,22 @@ class Flocking(Data):
                 a = jnp.clip(y[:, -1], -a_max, a_max)
             vel_n = a * dt + vel_t
             pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
-            i_n, s_n, x_n, v, ok_n = env_step(pos_n, vel_n, v, N,
-                                              lam_iters)
-            if step_mode:
-                out = (pos_n, vel_n, x_n, i_n, s_n, pstate, v)
+            if fused:
+                pay = policy.rollout_payload(pstate).reshape(B, N, -1)
+                i_n, s_n, x_n, v, sh_n, ok_n = env_step(
+                    pos_n, vel_n, v, N, lam_iters, payload=pay)
+                out = (pos_n, vel_n, x_n, sh_n, pstate, v)
             else:
-                xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
-                iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)
-                vw = jnp.concatenate([vw[:, 1:], s_n[:, None, None]],
-                                     axis=1)
-                out = (pos_n, vel_n, xw, iw, vw, v)
+                i_n, s_n, x_n, v, ok_n = env_step(pos_n, vel_n, v, N,
+                                                  lam_iters)
+                if step_mode:
+                    out = (pos_n, vel_n, x_n, i_n, s_n, pstate, v)
+                else:
+                    xw = jnp.concatenate([xw[:, 1:], x_n[:, None]], axis=1)
+                    iw = jnp.concatenate([iw[:, 1:], i_n[:, None]], axis=1)
+                    vw = jnp.concatenate([vw[:, 1:], s_n[:, None, None]],
+                                         axis=1)
+                    out = (pos_n, vel_n, xw, iw, vw, v)
             if use_grid:
                 out = out + (jnp.logical_and(ok, ok_n),)
             return out, (pos_n, vel_n, a, x_n, (i_n, s_n))
@@ -1332,8 +1438,10 @@ class Flocking(Data):
         import jax
         import jax.numpy as jnp
         from graph_neural_networks_tpu.ops import ell as ell_lib
+        import os
         key = ("seg", T, w, id(policy), ell_degree, env_chunk, lam_iters,
-               seg, step_mode, env_grid)
+               seg, step_mode, env_grid,
+               bool(os.environ.get("GNT_NO_FUSED_POLICY")))
         cache = getattr(self, "_scan_cache", None)
         if cache is None:
             cache = self._scan_cache = {}

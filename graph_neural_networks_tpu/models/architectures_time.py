@@ -60,9 +60,11 @@ def _as_compute(x):
 # (dataTools.py:3166-3340 calling architecturesTime.py:205).
 
 # the register recurrence itself lives in ops.filters (shared with the
-# scan formulation of lsigf_db, so the two implementations cannot drift)
+# scan formulation of lsigf_db, so the two implementations cannot
+# drift); rollout_step = ONE wide shift of rollout_payload(state) +
+# rollout_step_shifted (the post-shift math), so the grid env's fused
+# window pass can supply the shifted payload directly
 _step_shift_rows = filters.step_shift_rows
-_tap_register_step = filters.tap_register_step
 
 
 def _readout_apply(p, z, sigma):
@@ -161,22 +163,55 @@ class LocalGNN_DB(_TimeArchBase):
         return tuple(jnp.zeros((B, N, self.E, k - 1, g), dtype)
                      for k, g in zip(self.taps, self.F[:-1]))
 
-    def rollout_step(self, params, state, x_t, S_t):
-        """One causal step: (state', y_t (B,dimReadout[-1],N)) with y_t
-        exactly equal to apply() on the full history at time t.
-        x_t: (B,F0,N); S_t: EllGso with leading (B,) or dense
-        (B,N,N)/(B,E,N,N)."""
+    @property
+    def payload_width(self) -> int:
+        """Feature width of rollout_payload (excl. the E axis)."""
+        return sum((k - 1) * g for k, g in zip(self.taps, self.F[:-1]))
+
+    def rollout_payload(self, state):
+        """Node-major concat (B,N,E,P) of every register the next step
+        must shift by S_t (P = sum_l (K_l-1)·G_l). All layers shift by
+        the SAME per-step GSO, so one wide shift (or the grid env's
+        fused window pass carrying this as a table payload) replaces
+        the per-layer shifts exactly."""
+        B, N, E = state[0].shape[:3]
+        return jnp.concatenate(
+            [s.reshape(B, N, E, -1) for s in state], axis=-1)
+
+    def rollout_step_shifted(self, params, state, x_t, shifted):
+        """rollout_step given the ALREADY-shifted payload
+        (S_t @ rollout_payload(state), same (B,N,E,P) layout) — the
+        interface the fused grid environment feeds."""
         p = params["params"]
         h = jnp.swapaxes(jnp.asarray(x_t, jnp.float32), -1, -2)
+        B, N, E = state[0].shape[:3]
+        shifted = shifted.reshape(B, N, E, -1)
         new_state = []
+        off = 0
         for l in range(len(self.taps)):
             lp = p[f"GraphFilterDB_{l}"]
-            reg, y = _tap_register_step(lp["weight"], lp.get("bias"),
-                                        state[l], h, S_t)
+            K, G = self.taps[l], self.F[l]
+            wl = (K - 1) * G
+            sl = shifted[..., off:off + wl].reshape(B, N, E, K - 1, G)
+            off += wl
+            reg, y = filters.tap_register_combine(
+                lp["weight"], lp.get("bias"), sl, h)
             new_state.append(reg)
             h = self.core.sigma(y)
         z = _readout_apply(p["Readout"], h, self.core.sigma)
         return tuple(new_state), jnp.swapaxes(z, -1, -2)
+
+    def rollout_step(self, params, state, x_t, S_t):
+        """One causal step: (state', y_t (B,dimReadout[-1],N)) with y_t
+        exactly equal to apply() on the full history at time t.
+        x_t: (B,F0,N); S_t: EllGso with leading (B,) or dense
+        (B,N,N)/(B,E,N,N). All layer registers are shifted in ONE wide
+        node-major shift (bit-exact vs per-layer shifts — per-feature
+        math is independent), then combined per layer."""
+        pay = self.rollout_payload(state)
+        shifted = (_step_shift_rows(pay, S_t) if pay.shape[-1]
+                   else pay)
+        return self.rollout_step_shifted(params, state, x_t, shifted)
 
 
 class _GRNNDBCore(nn.Module):
@@ -259,39 +294,67 @@ class GraphRecurrentNN_DB(_TimeArchBase):
                 jnp.zeros((B, N, self.E, Ka - 1, self.H), dtype),
                 jnp.zeros((B, N, self.E, Kb - 1, self.H), dtype))
 
-    def rollout_step(self, params, state, x_t, S_t):
-        """One recurrent step; exact vs apply() on the full history
-        (the GRNN has infinite memory, so unlike the finite-window
-        models there IS no exact windowed form — step mode is both the
-        fast and the correct closed-loop semantics)."""
+    @property
+    def payload_width(self) -> int:
+        """Feature width of rollout_payload (excl. the E axis)."""
+        Ka, Kb = self.taps
+        return (Ka - 1) * (self.F + self.H) + (Kb - 1) * self.H
+
+    def rollout_payload(self, state):
+        """Node-major concat (B,N,E,P) of the three registers the next
+        step shifts by S_t: the input filter's x taps, the hidden
+        recurrence's delayed-z tail, and the output filter's z taps
+        (P = (Ka-1)(F+H) + (Kb-1)H)."""
+        xa_reg, _, z_tail, zo_reg = state
+        B, N, E = xa_reg.shape[:3]
+        return jnp.concatenate(
+            [xa_reg.reshape(B, N, E, -1), z_tail.reshape(B, N, E, -1),
+             zo_reg.reshape(B, N, E, -1)], axis=-1)
+
+    def rollout_step_shifted(self, params, state, x_t, shifted):
+        """rollout_step given S_t @ rollout_payload(state)."""
         p = params["params"]
         xa_reg, z_prev, z_tail, zo_reg = state
-        B, N, _ = z_prev.shape
+        B, N, E = xa_reg.shape[:3]
+        Ka, Kb = self.taps
+        F, H = self.F, self.H
+        shifted = shifted.reshape(B, N, E, -1)
+        o1 = (Ka - 1) * F
+        o2 = o1 + (Ka - 1) * H
+        sa = shifted[..., :o1].reshape(B, N, E, Ka - 1, F)
+        sz = shifted[..., o1:o2].reshape(B, N, E, Ka - 1, H)
+        so = shifted[..., o2:].reshape(B, N, E, Kb - 1, H)
         hp = p["hiddenState"]
         x_nm = jnp.swapaxes(jnp.asarray(x_t, jnp.float32), -1, -2)
-        xa_reg, ax = _tap_register_step(hp["aWeights"], hp.get("xBias"),
-                                        xa_reg, x_nm, S_t)
-        Ka = self.taps[0]
+        xa_reg, ax = filters.tap_register_combine(
+            hp["aWeights"], hp.get("xBias"), sa, x_nm)
         z0b = jnp.broadcast_to(z_prev[:, :, None, None],
-                               (B, N, self.E, 1, self.H))
-        if Ka > 1:
-            r = z_tail.reshape(B, N, self.E, (Ka - 1) * self.H)
-            shifted = _step_shift_rows(r, S_t) \
-                .reshape(B, N, self.E, Ka - 1, self.H)
-            reg_b = jnp.concatenate([z0b, shifted], axis=-2)
-        else:
-            reg_b = z0b
+                               (B, N, E, 1, H))
+        reg_b = (jnp.concatenate([z0b, sz], axis=-2) if Ka > 1
+                 else z0b)
         bz = jnp.einsum("bnekj,hekj->bnh", reg_b, hp["bWeights"])
         if "zBias" in hp:
             bz = bz + jnp.reshape(hp["zBias"], (-1,))
         z_t = self.core.sigma_hidden(ax + bz)
         op = p["outputState"]
-        zo_reg, y = _tap_register_step(op["weight"], op.get("bias"),
-                                       zo_reg, z_t, S_t)
+        zo_reg, y = filters.tap_register_combine(
+            op["weight"], op.get("bias"), so, z_t)
         y_out = self.core.rho_output(y)
         z = _readout_apply(p["Readout"], y_out, self.core.sigma_readout)
         new_state = (xa_reg, z_t, reg_b[..., : Ka - 1, :], zo_reg)
         return new_state, jnp.swapaxes(z, -1, -2)
+
+    def rollout_step(self, params, state, x_t, S_t):
+        """One recurrent step; exact vs apply() on the full history
+        (the GRNN has infinite memory, so unlike the finite-window
+        models there IS no exact windowed form — step mode is both the
+        fast and the correct closed-loop semantics). The three
+        registers shift in ONE wide node-major shift (bit-exact vs
+        separate shifts)."""
+        pay = self.rollout_payload(state)
+        shifted = (_step_shift_rows(pay, S_t) if pay.shape[-1]
+                   else pay)
+        return self.rollout_step_shifted(params, state, x_t, shifted)
 
 
 class _AggDBCore(nn.Module):
@@ -400,18 +463,34 @@ class AggregationGNN_DB(_TimeArchBase):
         return jnp.zeros((B, N, self.E, self.n_exchanges, self.F[0]),
                          dtype)
 
+    @property
+    def payload_width(self) -> int:
+        """Feature width of rollout_payload (excl. the E axis)."""
+        return self.n_exchanges * self.F[0]
+
+    def rollout_payload(self, state):
+        """Node-major (B,N,E,P) delayed-aggregation register the next
+        step shifts by S_t (P = nExchanges·F0)."""
+        B, N, E = state.shape[:3]
+        return state.reshape(B, N, E, -1)
+
     def rollout_step(self, params, state, x_t, S_t):
         """One causal step of the delayed aggregation sequence + conv
         stack; exact vs apply() on the full history at time t."""
+        pay = self.rollout_payload(state)
+        shifted = (_step_shift_rows(pay, S_t) if pay.shape[-1]
+                   else pay)
+        return self.rollout_step_shifted(params, state, x_t, shifted)
+
+    def rollout_step_shifted(self, params, state, x_t, shifted):
+        """rollout_step given S_t @ rollout_payload(state)."""
         p = params["params"]
         B, _, N = x_t.shape
         F0, nE = self.F[0], self.n_exchanges
         x_nm = jnp.swapaxes(jnp.asarray(x_t, jnp.float32), -1, -2)
         x0 = jnp.broadcast_to(x_nm[:, :, None, None], (B, N, self.E, 1, F0))
         if nE > 0:
-            r = state.reshape(B, N, self.E, nE * F0)
-            shifted = _step_shift_rows(r, S_t) \
-                .reshape(B, N, self.E, nE, F0)
+            shifted = shifted.reshape(B, N, self.E, nE, F0)
             seq = jnp.concatenate([x0, shifted], axis=-2)
         else:
             seq = x0

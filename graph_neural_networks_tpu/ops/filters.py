@@ -336,6 +336,26 @@ def step_shift_rows(r, S_t):
     return jnp.einsum("bnec,benm->bmec", r, S.astype(r.dtype))
 
 
+def tap_register_combine(w, b, shifted, x_nm):
+    """Post-shift half of ``tap_register_step``: build the tap stack
+    from the ALREADY-shifted register (S(t)·z_{0..K-2}(t-1)) and
+    contract with the taps. Split out so closed-loop rollouts that
+    obtain the shifted registers elsewhere (the grid environment's
+    fused window pass carries them as a table payload,
+    data.flocking._jnp_env_step_grid) share the exact same math.
+
+    w: (F,E,K,G); shifted: (B,N,E,K-1,G); x_nm: (B,N,G).
+    Returns (reg' (B,N,E,K-1,G), y (B,N,F))."""
+    F, E, K, G = w.shape
+    B, N, _ = x_nm.shape
+    x0 = jnp.broadcast_to(x_nm[:, :, None, None], (B, N, E, 1, G))
+    stack = jnp.concatenate([x0, shifted], axis=-2) if K > 1 else x0
+    y = jnp.einsum("bnekg,fekg->bnf", stack, w)
+    if b is not None:
+        y = y + jnp.reshape(b, (-1,))
+    return stack[..., : K - 1, :], y
+
+
 def tap_register_step(w, b, reg, x_nm, S_t):
     """One causal step of a delayed graph filter (lsigf_db) on the
     node-major tap register — THE recurrence z_k(t) = S(t)·z_{k-1}(t-1)
@@ -348,17 +368,12 @@ def tap_register_step(w, b, reg, x_nm, S_t):
     Returns (reg' (B,N,E,K-1,G), y (B,N,F))."""
     F, E, K, G = w.shape
     B, N, _ = x_nm.shape
-    x0 = jnp.broadcast_to(x_nm[:, :, None, None], (B, N, E, 1, G))
     if K > 1:
         r = reg.reshape(B, N, E, (K - 1) * G)
         shifted = step_shift_rows(r, S_t).reshape(B, N, E, K - 1, G)
-        stack = jnp.concatenate([x0, shifted], axis=-2)
     else:
-        stack = x0
-    y = jnp.einsum("bnekg,fekg->bnf", stack, w)
-    if b is not None:
-        y = y + jnp.reshape(b, (-1,))
-    return stack[..., : K - 1, :], y
+        shifted = jnp.zeros((B, N, E, 0, G), x_nm.dtype)
+    return tap_register_combine(w, b, shifted, x_nm)
 
 
 def _lsigf_db_ell_rows(h, S, x, b=None):

@@ -51,7 +51,7 @@ ID_SENTINEL = float(2 ** 24)   # > any valid agent id (N < 2^24 asserted)
 
 
 def _make_kernel(C: int, r2: float, d_max: int, OW: int, wv_only: bool,
-                 n_win: int, W: int):
+                 n_win: int, W: int, n_pay: int = 0):
     M = n_win * C
     # exp(-d2) > ZERO_TOL  <=>  d2 < -ln(ZERO_TOL) (~20.7): statically
     # implied by d2 <= r2 at flocking radii, so the 9C transcendentals
@@ -117,7 +117,15 @@ def _make_kernel(C: int, r2: float, d_max: int, OW: int, wv_only: bool,
         idxf = jnp.maximum(sel - 1.0, 0.0)
         cnt = jnp.sum(mf, axis=1, keepdims=True)
         out = [idxf, val] + s_acc + [wv, cnt]
-        used = 2 * d_max + 8
+        # payload fold: the table's blocks 7..6+n_pay carry arbitrary
+        # per-agent features (the policy's delayed tap registers,
+        # models.architectures_time.rollout_payload); their masked sums
+        # ARE the graph shift S_t @ payload the policy's next step
+        # needs — so the whole per-step neighbor exchange (mask, states,
+        # lambda matvec, register shift) rides ONE table pass
+        for pfi in range(n_pay):
+            out.append(red(fM(7 + pfi) * mf))
+        used = 2 * d_max + 8 + n_pay
         if used < OW:
             out.append(jnp.zeros((mf.shape[0], OW - used), dt))
         out_ref[:] = jnp.concatenate(out, axis=1)
@@ -125,33 +133,37 @@ def _make_kernel(C: int, r2: float, d_max: int, OW: int, wv_only: bool,
     return kernel
 
 
-def _out_width(d_max: int) -> int:
-    return -(-(2 * d_max + 8) // 128) * 128
+def _out_width(d_max: int, n_pay: int = 0) -> int:
+    return -(-(2 * d_max + 8 + n_pay) // 128) * 128
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "C", "r2", "d_max", "row_tile", "wv_only", "interpret"))
+    "C", "r2", "d_max", "row_tile", "wv_only", "n_pay", "interpret"))
 def grid_window(cand, own, *, C: int, r2: float, d_max: int,
                 row_tile: int = 512, wv_only: bool = False,
-                interpret=None):
+                n_pay: int = 0, interpret=None):
     """cand (n_win, rows, W) window-major gathered cell rows (n_win = 9
     for the 3x3 side-r scheme with W=128, 4 for the 2x2 side-2r scheme
     with W=256), own (rows, 128) [px py vx vy id keep*n_win pad] ->
     (rows, OW): [idx (d_max, float ids, 0-filled) | val (d_max, 0/1) |
-    st (6) | wv = (W v_prev)_row | cnt = in-degree | pad]. wv_only=True
-    computes just the masked-v reduction (the candidate-window power-
-    iteration matvec): out lane 0 = wv. interpret=None auto-enables
-    Pallas interpret mode off-TPU (CPU tests)."""
+    st (6) | wv = (W v_prev)_row | cnt = in-degree | wpay (n_pay) |
+    pad]. wv_only=True computes just the masked-v reduction (the
+    candidate-window power-iteration matvec): out lane 0 = wv.
+    n_pay>0 additionally folds the table's payload feature blocks
+    (7..6+n_pay) as masked sums — the untruncated graph shift of each
+    payload feature. interpret=None auto-enables Pallas interpret mode
+    off-TPU (CPU tests)."""
     n_win, rows, W = cand.shape
-    assert W % 128 == 0 and 7 * C <= W and n_win <= 9, (W, C, n_win)
+    assert W % 128 == 0 and (7 + n_pay) * C <= W and n_win <= 9, \
+        (W, C, n_win, n_pay)
     assert own.shape == (rows, 128), own.shape
-    OW = 128 if wv_only else _out_width(d_max)
+    OW = 128 if wv_only else _out_width(d_max, n_pay)
     rt = min(row_tile, rows)
     assert rows % rt == 0, (rows, rt)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        _make_kernel(C, r2, d_max, OW, wv_only, n_win, W),
+        _make_kernel(C, r2, d_max, OW, wv_only, n_win, W, n_pay),
         grid=(rows // rt,),
         in_specs=[
             pl.BlockSpec((n_win, rt, W), lambda i: (0, i, 0),

@@ -165,6 +165,106 @@ def test_rollout_step_mode_grnn_matches_host_loop():
     np.testing.assert_allclose(p_step, p_host, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["dense", "ell"])
+def test_rollout_step_shifted_composes(mode):
+    """rollout_step == one wide shift of rollout_payload(state) +
+    rollout_step_shifted — the contract the fused grid env relies on
+    (it supplies the shifted payload from its own window pass)."""
+    rng = np.random.default_rng(7)
+    B, T, N, deg = 2, 5, 20, 4
+    x, ell, Sd = random_traj(rng, B, T, 3, N, deg)
+    S_all = ell if mode == "ell" else Sd
+    from graph_neural_networks_tpu.ops import filters
+    nets = [
+        archt.LocalGNN_DB([3, 8, 5], [4, 3], True, "tanh", [2], 1),
+        archt.GraphRecurrentNN_DB(3, 2, 5, [3, 4], True, "tanh",
+                                  "tanh", "tanh", [2], 1),
+        archt.AggregationGNN_DB([3, 6], [3], True, "relu", "max", [1],
+                                [2], 1, nExchanges=5),
+    ]
+    for i, net in enumerate(nets):
+        params = net.init(jax.random.PRNGKey(10 + i), N=N, T=T)
+        state_a = net.rollout_init(params, B, N)
+        state_b = net.rollout_init(params, B, N)
+        for t in range(T):
+            S_t = jax.tree_util.tree_map(lambda a: a[:, t], S_all)
+            pay = net.rollout_payload(state_b)
+            assert pay.shape == (B, N, 1, net.payload_width)
+            sh = filters.step_shift_rows(pay, S_t)
+            state_a, y_a = net.rollout_step(params, state_a, x[:, t], S_t)
+            state_b, y_b = net.rollout_step_shifted(params, state_b,
+                                                    x[:, t], sh)
+            np.testing.assert_array_equal(np.asarray(y_a),
+                                          np.asarray(y_b))
+
+
+def test_grid_payload_shift_matches_ell():
+    """_jnp_env_step_grid(payload=...) returns the normalized graph
+    shift of the payload: equal to the ELL shift with the step's own
+    idx/val whenever d_max covers the true max in-degree; idx/val
+    outputs bit-equal to the payload-free step; XLA window path vs
+    interpret-mode kernel agree."""
+    import os
+    from graph_neural_networks_tpu.data import flocking as F
+    from graph_neural_networks_tpu.ops import ell as ell_lib
+    rng = np.random.default_rng(12)
+    B, N, D, P = 2, 40, 40, 5
+    pos = jnp.asarray(rng.random((B, 2, N)) * 6.0, jnp.float32)
+    vel = jnp.asarray(rng.standard_normal((B, 2, N)), jnp.float32)
+    v0 = jnp.ones((B, N), jnp.float32) / np.sqrt(N)
+    pay = jnp.asarray(rng.standard_normal((B, N, P)), jnp.float32)
+    outs = {}
+    for kern in (False, True):
+        if kern:
+            os.environ["GNT_GRIDWIN"] = "1"
+        try:
+            i0, v0n, st0, _, ok0 = F._jnp_env_step_grid(
+                pos, vel, 2.0, D, v0, lam_iters=2, cell_cap=N,
+                cell_factor=2, use_kernel=kern)
+            idx, val, st, _, wpay, ok = F._jnp_env_step_grid(
+                pos, vel, 2.0, D, v0, lam_iters=2, cell_cap=N,
+                cell_factor=2, use_kernel=kern, payload=pay)
+        finally:
+            os.environ.pop("GNT_GRIDWIN", None)
+        assert bool(ok) and bool(ok0)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(i0))
+        np.testing.assert_array_equal(np.asarray(val), np.asarray(v0n))
+        np.testing.assert_array_equal(np.asarray(st), np.asarray(st0))
+        # d_max == N: the ELL shift over (idx, val) is the full graph
+        ell = ell_lib.EllGso(idx, val[:, None])
+        ref = ell.db_shift_rows(pay[:, :, None, :])[:, :, 0]
+        np.testing.assert_allclose(np.asarray(wpay), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        outs[kern] = np.asarray(wpay)
+    np.testing.assert_allclose(outs[True], outs[False],
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fused_policy_rollout_matches_unfused(monkeypatch):
+    """Grid-env step-mode rollouts with the fused policy payload (the
+    default) reproduce the unfused (ELL register gather) rollout for
+    all three DB architectures, incl. under compute_trajectory."""
+    env, ip, iv = _small_env()
+    nets = [
+        archt.LocalGNN_DB([6, 8], [3], True, "tanh", [2], 1),
+        archt.GraphRecurrentNN_DB(6, 2, 4, [3, 3], True, "tanh",
+                                  "tanh", "tanh", [2], 1),
+        archt.AggregationGNN_DB([6, 4], [2], True, "relu", "max", [1],
+                                [2], 1, nExchanges=3),
+    ]
+    for i, net in enumerate(nets):
+        params = net.init(jax.random.PRNGKey(20 + i), N=24, T=3)
+        kw = dict(archit=net, params=params, ell_degree=24,
+                  env_grid=True, step_mode=True,
+                  history_window=getattr(net, "causal_window", 4))
+        monkeypatch.setenv("GNT_NO_FUSED_POLICY", "1")
+        p_ref, v_ref = env.compute_trajectory(ip, iv, 0.6, **kw)[:2]
+        monkeypatch.delenv("GNT_NO_FUSED_POLICY")
+        p_fuse, v_fuse = env.compute_trajectory(ip, iv, 0.6, **kw)[:2]
+        np.testing.assert_allclose(p_fuse, p_ref, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(v_fuse, v_ref, rtol=2e-4, atol=2e-4)
+
+
 def test_rollout_segmented_step_mode_and_t1():
     """Segmented step-mode rollout == monolithic; T<=1 returns the
     init-only trajectory instead of crashing (ADVICE r2)."""
