@@ -134,13 +134,15 @@ def main():
     pay = jnp.asarray(
         np.random.default_rng(1).random((B, N, 18)), jnp.float32)
 
+    # quad scheme (cell_cap=32, factor=2) — what env_grid=True uses
     def env_plain(p, v, vv):
-        o = F._jnp_env_step_grid(p, v, 2.0, D, vv, lam_iters=0)
+        o = F._jnp_env_step_grid(p, v, 2.0, D, vv, lam_iters=0,
+                                 cell_cap=32, cell_factor=2)
         return sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in o)
 
     def env_pay(p, v, vv, pl):
         o = F._jnp_env_step_grid(p, v, 2.0, D, vv, lam_iters=0,
-                                 payload=pl)
+                                 cell_cap=32, cell_factor=2, payload=pl)
         return sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in o)
 
     def chainE(f, n, with_pay):

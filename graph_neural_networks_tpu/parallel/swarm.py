@@ -64,7 +64,8 @@ def pad_swarm(pos, vel, mesh: Mesh, axis: str = "graph",
 
 def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
                      axis: str = "graph", v_prev=None, lam_iters: int = 8,
-                     env_chunk: Optional[int] = None, env_grid=None):
+                     env_chunk: Optional[int] = None, env_grid=None,
+                     payload=None):
     """One env step on node-sharded (B,2,N_pad) pos/vel. Returns
     (idx (B,Np·P,D) row-sharded with global column ids, val_norm
     (B,Np·P,D) row-sharded, states (B,6,N_pad) node-sharded,
@@ -80,23 +81,38 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
     (data.flocking._grid_rows) — the distributed form of
     ``_jnp_env_step_grid``.
 
-    Returns a 5th element ``ok``: False iff some cell overflowed
-    cell_cap this step (grid mode; all-pairs always True) — the same
-    exactness contract as the single-chip step."""
+    payload (B,N_pad,Pw) node-sharded: all-gathered alongside pos/vel
+    (the same O(N) ICI pattern) and the step additionally returns its
+    NORMALIZED graph shift (W/lambda) @ payload as node-sharded
+    (B,N_pad,Pw) rows — the mesh form of the fused-policy register
+    shift (data.flocking._jnp_env_step_grid payload). Grid mode folds
+    it into the window pass; all-pairs mode computes it as a masked
+    (chunk,N)x(N,Pw) matmul. Untruncated-mask semantics: equals the
+    ELL shift whenever d_max covers the true max in-degree.
+
+    Returns (idx, val_norm, states, v[, shifted_payload], ok); ``ok``
+    is False iff some cell overflowed cell_cap this step (grid mode;
+    all-pairs always True) — the same exactness contract as the
+    single-chip step."""
     r2 = comm_radius ** 2
+    n_pay = 0 if payload is None else int(payload.shape[-1])
 
     # check_vma=False: the grid path may run the fused Pallas window
     # kernel (ops.gridwin) inside the shard (CLAUDE.md: pallas-in-
     # shard_map needs it); the collectives below are explicit either way
     @partial(shard_map, mesh=mesh, check_vma=False,
              in_specs=(P(None, None, axis), P(None, None, axis),
-                       P(None, axis)),
+                       P(None, axis), P(None, axis, None)),
              out_specs=(P(None, axis, None), P(None, axis, None),
-                        P(None, None, axis), P(None, axis), P()))
-    def _step(pos_blk, vel_blk, v_blk):
+                        P(None, None, axis), P(None, axis),
+                        P(None, axis, None), P()))
+    def _step(pos_blk, vel_blk, v_blk, pay_blk):
         B, _, Np = pos_blk.shape
         pos_full = jax.lax.all_gather(pos_blk, axis, axis=2, tiled=True)
         vel_full = jax.lax.all_gather(vel_blk, axis, axis=2, tiled=True)
+        if n_pay:
+            pay_full = jax.lax.all_gather(pay_blk, axis, axis=1,
+                                          tiled=True)      # B,N,Pw
         N = pos_full.shape[-1]
         lo0 = jax.lax.axis_index(axis) * Np
         cols = jnp.arange(N)
@@ -110,24 +126,32 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
             inv_s = 1.0 / (gcf * comm_radius)
             gchunk = _fit_chunk(Np, 8192)
 
-            def one_grid(pf_b, vf_b):
+            def one_grid(pf_b, vf_b, pay_b):
                 cell_rows, cx, cy, ok_b, _ = F._grid_build_table(
                     pf_b[0], pf_b[1], vf_b[0], vf_b[1],
-                    inv_s, H, Gx, Gy, Cc)
-                i_, v_, s_, _wv = F._grid_rows_chunked(
+                    inv_s, H, Gx, Gy, Cc,
+                    pay=pay_b if n_pay else None)
+                out = F._grid_rows_chunked(
                     pf_b[0], pf_b[1], vf_b[0], vf_b[1], cx, cy,
                     lo0, Np, gchunk, cell_rows, Gx, Gy, Cc, r2,
-                    d_max, N, inv_s=inv_s, factor=gcf)
-                return i_, v_, s_, ok_b
+                    d_max, N, inv_s=inv_s, factor=gcf, n_pay=n_pay)
+                if n_pay:
+                    i_, v_, s_, _wv, wp_ = out
+                else:
+                    (i_, v_, s_, _wv), wp_ = out, jnp.zeros(
+                        (Np, 0), pf_b.dtype)
+                return i_, v_, s_, wp_, ok_b
 
-            idx, val01, states, oks = jax.vmap(one_grid)(pos_full,
-                                                         vel_full)
+            idx, val01, states, wpay, oks = jax.vmap(one_grid)(
+                pos_full, vel_full,
+                pay_full if n_pay else jnp.zeros((B, N, 0),
+                                                 pos_blk.dtype))
             # every chip built the same table from the gathered swarm;
             # psum-min makes the flag a legal replicated output
             ok = (jax.lax.psum(jnp.all(oks).astype(jnp.int32), axis)
                   == jax.lax.axis_size(axis))
         else:
-            idx = val01 = states = None   # set by the all-pairs path
+            idx = val01 = states = wpay = None   # all-pairs path below
             ok = None
 
         def one(lo_local):
@@ -150,18 +174,21 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
             st = jnp.concatenate(
                 [jnp.sum(dv * mfe, -1), jnp.sum(dp * inv ** 2, -1),
                  jnp.sum(dp * inv, -1)], axis=-2)            # B,6,c
-            return idx.astype(jnp.int32), val01, st
+            wp = (jnp.einsum("bcn,bnp->bcp", mf, pay_full) if n_pay
+                  else jnp.zeros((B, chunk, 0), pos_blk.dtype))
+            return idx.astype(jnp.int32), val01, st, wp
 
         if env_grid is not None:
             pass                          # computed above
         elif chunk == Np:
-            idx, val01, states = one(0)
+            idx, val01, states, wpay = one(0)
         else:
-            idxs, vals, sts = jax.lax.map(
+            idxs, vals, sts, wps = jax.lax.map(
                 one, jnp.arange(Np // chunk) * chunk)
             idx = jnp.moveaxis(idxs, 0, 1).reshape(B, Np, d_max)
             val01 = jnp.moveaxis(vals, 0, 1).reshape(B, Np, d_max)
             states = jnp.moveaxis(sts, 0, 2).reshape(B, 6, Np)
+            wpay = jnp.moveaxis(wps, 0, 1).reshape(B, Np, n_pay)
 
         ell_blk = ell_lib.EllGso(idx, val01[:, None])
 
@@ -181,12 +208,19 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
         if ok is None:
             ok = jax.lax.psum(jnp.int32(1), axis) \
                 == jax.lax.axis_size(axis)      # all-pairs: always exact
-        return idx, val01 / lam[:, None, None], states, vb, ok
+        return (idx, val01 / lam[:, None, None], states, vb,
+                wpay / lam[:, None, None], ok)
 
     if v_prev is None:
         B, _, Npad = pos.shape
         v_prev = jnp.ones((B, Npad), pos.dtype) / jnp.sqrt(Npad)
-    return _step(pos, vel, v_prev)
+    if payload is None:
+        B, _, Npad = pos.shape
+        payload = jnp.zeros((B, Npad, 0), pos.dtype)
+    i_, v_, s_, vb, wp, ok = _step(pos, vel, v_prev, payload)
+    if n_pay:
+        return i_, v_, s_, vb, wp, ok
+    return i_, v_, s_, vb, ok
 
 
 def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
@@ -194,7 +228,7 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
                           mesh: Mesh, axis: str = "graph", n_orig=None,
                           lam_iters: int = 8,
                           env_chunk: Optional[int] = None,
-                          env_grid=None):
+                          env_grid=None, step_mode: bool = False):
     """Build a jitted closed-loop rollout over the mesh: the mirror of
     ``Flocking._scan_rollout(env_chunk=...)`` with every array
     node-sharded and the graph windows as ShardedEllGso. policy:
@@ -202,14 +236,31 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
     pad-agent accelerations are zeroed (pads never move), so results on
     the first n_orig agents match the single-chip rollout exactly.
 
+    step_mode=True (requires a payload-capable DB architecture with one
+    edge feature as ``policy``): the mesh form of the FUSED-POLICY
+    rollout (data.flocking._chunked_pieces). The policy's per-step math
+    (tap combine + readout) is purely per-node — it runs shard-local
+    with ZERO communication — and its registers are shifted by the env
+    step itself: the node-sharded payload is all-gathered alongside
+    pos/vel (same O(N) ICI pattern the windowed policy's db_shift pays
+    PER LAYER) and shifted by the untruncated in-range mask. No history
+    windows, no separate register gather.
+
     Returns rollout(params, pos_pad, vel_pad) -> (pos, vel, accel,
     states, ShardedEllGso graph trajectory), all (B,T,...) node-sharded.
     """
+    if step_mode:
+        assert (hasattr(policy, "rollout_step_shifted")
+                and hasattr(policy, "rollout_payload")
+                and getattr(policy, "E", None) == 1
+                and getattr(policy, "payload_width", 0) > 0), \
+            "step_mode needs a payload-capable DB architecture (E == 1)"
 
-    def env(pos, vel, v):
+    def env(pos, vel, v, payload=None):
         return sharded_env_step(pos, vel, comm_radius, d_max, mesh,
                                 axis, v_prev=v, lam_iters=lam_iters,
-                                env_chunk=env_chunk, env_grid=env_grid)
+                                env_chunk=env_chunk, env_grid=env_grid,
+                                payload=payload)
 
     def rollout(params, init_pos, init_vel):
         B, _, Npad = init_pos.shape
@@ -220,6 +271,44 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
             init_pos, init_vel, comm_radius, d_max, mesh, axis,
             v_prev=v0, lam_iters=max(lam_iters, 32), env_chunk=env_chunk,
             env_grid=env_grid)
+        if step_mode:
+            # zero registers shift to zero: no payload pass at init
+            pstate0 = policy.rollout_init(None, B, Npad)
+            sh0 = jnp.zeros_like(
+                policy.rollout_payload(pstate0).reshape(B, Npad, -1))
+
+            def step(carry, _):
+                pos_t, vel_t, x_t, sh_t, pstate, v, ok = carry
+                pstate, y = policy.rollout_step_shifted(
+                    params, pstate, x_t, sh_t)
+                a = jnp.clip(y, -accel_max, accel_max) * mask
+                vel_n = a * dt + vel_t
+                pos_n = a * dt * dt / 2 + vel_t * dt + pos_t
+                pay = policy.rollout_payload(pstate).reshape(B, Npad, -1)
+                i_n, s_n, x_n, v, sh_n, ok_n = env(pos_n, vel_n, v,
+                                                   payload=pay)
+                return ((pos_n, vel_n, x_n, sh_n, pstate, v,
+                         jnp.logical_and(ok, ok_n)),
+                        (pos_n, vel_n, a, x_n, (i_n, s_n)))
+
+            carry = (init_pos, init_vel, x0, sh0, pstate0, v0, ok0)
+            carry, (pos, vel, acc, xs, Ss) = jax.lax.scan(
+                step, carry, None, length=T - 1)
+            swap = lambda z: jnp.moveaxis(z, 0, 1)
+            pos = jnp.concatenate([init_pos[:, None], swap(pos)], axis=1)
+            vel = jnp.concatenate([init_vel[:, None], swap(vel)], axis=1)
+            zero_a = jnp.zeros_like(acc[:1])
+            accel = jnp.concatenate([swap(acc), swap(zero_a)], axis=1)
+            states = jnp.concatenate([x0[:, None], swap(xs)], axis=1)
+            gi = jnp.concatenate([i0[:, None], swap(Ss[0])], axis=1)
+            gv = jnp.concatenate([s0[:, None], swap(Ss[1])], axis=1)
+            graphs = ShardedEllGso(gi, gv[:, :, None], mesh, axis,
+                                   n_orig=Npad)
+            out = (pos, vel, accel, states, graphs)
+            if env_grid is not None:
+                out = out + (carry[-1],)   # exactness flag
+            return out
+
         xw = jnp.zeros((B, w, 6, Npad), init_pos.dtype).at[:, -1].set(x0)
         iw = jnp.zeros((B, w, Npad, d_max), jnp.int32).at[:, -1].set(i0)
         vw = jnp.zeros((B, w, 1, Npad, d_max),

@@ -224,6 +224,50 @@ def test_sharded_swarm_rollout_grnn_policy(gmesh):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_swarm_rollout_step_mode_fused(gmesh):
+    """Step-mode sharded rollout (the mesh form of the fused-policy
+    path: registers all-gathered as env payload, policy math
+    shard-local) == the single-chip fused grid rollout; the all-pairs
+    payload path (masked matmul) agrees too; pads never move."""
+    from graph_neural_networks_tpu.data.flocking import Flocking
+
+    N = 10                                       # -> 2 pad agents
+    env = Flocking.for_rollout(N, commRadius=6.0, repelDist=1.0,
+                               samplingTime=0.125,
+                               rng=np.random.default_rng(1))
+    ip, iv = env.compute_initial_positions(
+        N, 2, env.commRadius, minDist=env.initMinDist,
+        geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=N, T=2)
+    T = 6
+    grid = (256, 16)
+
+    pos_ref, vel_ref, *_ = env.compute_trajectory(
+        ip, iv, T * env.samplingTime, archit=arch, params=params,
+        history_window=arch.causal_window, ell_degree=N,
+        env_grid=grid, lam_iters=64, step_mode=True)
+
+    pos_p, vel_p, n_orig = par.pad_swarm(ip, iv, gmesh)
+    for env_grid in (grid, None):
+        roll = par.sharded_swarm_rollout(
+            T, arch.causal_window, arch, env.commRadius,
+            env.samplingTime, env.accelMax, d_max=N, mesh=gmesh,
+            n_orig=n_orig, lam_iters=64, env_grid=env_grid,
+            step_mode=True)
+        out = roll(params, pos_p, vel_p)
+        if env_grid is not None:
+            assert bool(out[-1]), "grid exactness flag tripped"
+        pos_s, vel_s = np.asarray(out[0]), np.asarray(out[1])
+        np.testing.assert_allclose(pos_s[..., :N], pos_ref,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(vel_s[..., :N], vel_ref,
+                                   rtol=1e-4, atol=1e-4)
+        pp = pos_s[..., n_orig:]
+        np.testing.assert_allclose(
+            pp, np.broadcast_to(pp[:, :1], pp.shape))
+
+
 def test_sharded_ell_no_dense_at_scale(gmesh):
     """N=64k node-sharded DB shift: O(N·D/P) per chip, no N² anywhere."""
     N, B, T, D = 65536, 1, 2, 8
