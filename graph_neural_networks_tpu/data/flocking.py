@@ -1146,7 +1146,8 @@ class Flocking(Data):
         import os
         key = (T, w, id(policy), ell_degree, lam_method, env_chunk,
                lam_iters, step_mode, env_grid,
-               bool(os.environ.get("GNT_NO_FUSED_POLICY")))
+               bool(os.environ.get("GNT_NO_FUSED_POLICY")),
+               bool(os.environ.get("GNT_FUSED_POLICY")))
         cache = getattr(self, "_scan_cache", None)
         if cache is None:
             cache = self._scan_cache = {}
@@ -1325,12 +1326,23 @@ class Flocking(Data):
         use_grid = env_grid is not None
         if use_grid:
             gts, gcc, gcf = _parse_env_grid(env_grid)
+        pw = getattr(policy, "payload_width", 0)
+        # auto heuristic: the payload's cost is the element-latency-
+        # bound table scatter (~12 ns/element, probe_fused_policy +
+        # the windowed-scatter negative result in TODO.md) while the
+        # unfused ELL register gather costs ~9 ns/row x d_max rows —
+        # so fusing wide-register policies (GRNN hidden states) would
+        # LOSE once payload_width >> d_max. GNT_FUSED_POLICY=1 forces
+        # fusion regardless (e.g. when the unfused gather cannot even
+        # fit, as at N=1M); GNT_NO_FUSED_POLICY=1 forces it off.
         fused = (step_mode and use_grid
                  and not os.environ.get("GNT_NO_FUSED_POLICY")
                  and hasattr(policy, "rollout_step_shifted")
                  and hasattr(policy, "rollout_payload")
                  and getattr(policy, "E", None) == 1
-                 and getattr(policy, "payload_width", 0) > 0)
+                 and pw > 0
+                 and (bool(os.environ.get("GNT_FUSED_POLICY"))
+                      or pw <= 1.5 * ell_degree))
 
         def env_step(pos, vel, v, N, iters, payload=None):
             D = min(ell_degree, N)
@@ -1441,7 +1453,8 @@ class Flocking(Data):
         import os
         key = ("seg", T, w, id(policy), ell_degree, env_chunk, lam_iters,
                seg, step_mode, env_grid,
-               bool(os.environ.get("GNT_NO_FUSED_POLICY")))
+               bool(os.environ.get("GNT_NO_FUSED_POLICY")),
+               bool(os.environ.get("GNT_FUSED_POLICY")))
         cache = getattr(self, "_scan_cache", None)
         if cache is None:
             cache = self._scan_cache = {}

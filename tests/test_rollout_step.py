@@ -260,7 +260,11 @@ def test_fused_policy_rollout_matches_unfused(monkeypatch):
         monkeypatch.setenv("GNT_NO_FUSED_POLICY", "1")
         p_ref, v_ref = env.compute_trajectory(ip, iv, 0.6, **kw)[:2]
         monkeypatch.delenv("GNT_NO_FUSED_POLICY")
+        # pin fusion ON so the comparison can't silently become
+        # unfused-vs-unfused if the auto width heuristic changes
+        monkeypatch.setenv("GNT_FUSED_POLICY", "1")
         p_fuse, v_fuse = env.compute_trajectory(ip, iv, 0.6, **kw)[:2]
+        monkeypatch.delenv("GNT_FUSED_POLICY")
         np.testing.assert_allclose(p_fuse, p_ref, rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(v_fuse, v_ref, rtol=2e-4, atol=2e-4)
 
