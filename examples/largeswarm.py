@@ -101,7 +101,10 @@ def main():
                               repelDist=1.0, nTrain=nTrain, nValid=nValid,
                               nTest=nTest, duration=duration,
                               samplingTime=dt, ell_degree=args.ellDegree,
-                              rng=rng)
+                              rng=rng,
+                              # O(N) expert generation + rollouts on the
+                              # cell-list grid (round 4)
+                              env_grid=env_grid if env_grid else None)
     else:
         data = D.Flocking(nAgents=n_train_agents, commRadius=2.0,
                           repelDist=1.0, nTrain=nTrain, nValid=nValid,

@@ -171,7 +171,7 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
                        lam_iters: int = 8, table_size=None,
                        cell_cap: int = 16, use_kernel=None,
                        lam_path: str = "auto", cell_factor: int = 1,
-                       payload=None):
+                       payload=None, expert_repel=None):
     """One O(N·k) cell-list environment step — the TPU-native spatial
     hash grid replacing the O(N²) all-pairs step for very large swarms.
 
@@ -217,6 +217,17 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     existing exactness condition); float association differs
     (candidate order vs ELL-slot order). Requires the window-lambda
     path (lam_path 'auto'/'window').
+
+    expert_repel=repelDist: the same cell table (repelDist <=
+    comm_radius, so the window covers every repel-range pair) gets a
+    SECOND cheap window pass at r2=repelDist^2 whose 6-feature states
+    ARE the centralized expert's collision sums — the step then also
+    returns repel = 2*(st2+st4, st3+st5) (B,2,N), turning the expert
+    supervision of ``generate_trajectories_large`` O(N) (the chunked
+    all-pairs expert is O(N^2/chunk)). Equals
+    ``_jnp_expert_accel_chunked``'s pairwise sum up to float
+    association and the d2==repel^2 boundary comparator (< there,
+    <= here — measure-zero).
 
     lambda_max: with the fused window kernel (lam_path='window', the
     'auto' choice whenever use_kernel), the FIRST power-iteration
@@ -280,7 +291,22 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
             idx, val, states, wv, wpay = rows_out
         else:
             idx, val, states, wv = rows_out
+        if expert_repel is not None:
+            # second window pass over the SAME table at the repel
+            # radius: its states are the expert's collision sums
+            # (d_max=1 keeps the selection work trivial)
+            st_r = _grid_rows_chunked(
+                px, py, vx, vy, cx, cy, 0, N, chunk, cell_rows,
+                Gx, Gy, C, float(expert_repel) ** 2, 1, N,
+                use_kernel=use_kernel, inv_s=inv_s,
+                factor=cell_factor)[2]
+            rep = 2.0 * jnp.stack(
+                [st_r[2] + st_r[4], st_r[3] + st_r[5]])   # (2, N)
+        else:
+            rep = None
         if not win_lam:
+            if rep is not None:
+                return idx, val, states, rep, ok
             return idx, val, states, ok
         flat = cell_rows.reshape(-1)
         Wt = cell_rows.shape[1]
@@ -312,21 +338,27 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
                     0, lam_iters - 1, lambda i, vb: nrm(wv_pass(vb)), v)
             lam = jnp.dot(v, wv_pass(v))
         lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
+        out = (idx, val / lam, states, v)
         if P:
-            return idx, val / lam, states, v, wpay / lam, ok
-        return idx, val / lam, states, v, ok
+            out = out + (wpay / lam,)
+        if rep is not None:
+            out = out + (rep,)
+        return out + (ok,)
 
     if win_lam:
-        if P:
-            idx, val, states, v, wpay, ok = jax.vmap(one)(
-                pos, vel, v_prev, payload)
-            return idx, val, states, v, wpay, jnp.all(ok)
-        idx, val, states, v, ok = jax.vmap(one)(pos, vel, v_prev)
-        return idx, val, states, v, jnp.all(ok)
-    idx, val, states, ok = jax.vmap(one)(pos, vel, v_prev)
+        outs = jax.vmap(one)(*((pos, vel, v_prev)
+                               + ((payload,) if P else ())))
+        *outs, ok = outs
+        return tuple(outs) + (jnp.all(ok),)
+    if expert_repel is not None:
+        idx, val, states, rep, ok = jax.vmap(one)(pos, vel, v_prev)
+    else:
+        idx, val, states, ok = jax.vmap(one)(pos, vel, v_prev)
     lam, v = _ell_power_lambda(idx, val, v_prev, lam_iters)
-    return (idx, val / lam[:, None, None], states, v,
-            jnp.all(ok))
+    out = (idx, val / lam[:, None, None], states, v)
+    if expert_repel is not None:
+        out = out + (rep,)
+    return out + (jnp.all(ok),)
 
 
 def _grid_geometry(N, table_size, cell_cap, factor: int = 1):
@@ -685,6 +717,46 @@ def _fit_chunk(n: int, chunk: int) -> int:
     return chunk
 
 
+def _jnp_expert_accel_grid(pos, vel, comm_radius, repel_dist, accel_max,
+                           table_size=None, cell_cap: int = 32,
+                           factor: int = 2, use_kernel=None):
+    """Centralized expert acceleration via the cell grid, O(N): bin
+    agents into the SAME cell geometry the env uses (cells sized by
+    comm_radius >= repel_dist, so the window covers every repel-range
+    pair) and read the collision sums from one window pass at
+    r2=repel_dist^2 (the window states' dp·inv and dp·inv² columns).
+    The velocity-consensus term is a global O(N) reduction. Returns
+    (accel (B,2,N), ok) — ok False iff a cell overflowed cell_cap.
+    Equals ``_jnp_expert_accel_chunked`` up to float association (and
+    the measure-zero d2==repel² boundary comparator)."""
+    import jax
+    import jax.numpy as jnp
+    B, _, N = pos.shape
+    H, Gx, Gy, C = _grid_geometry(N, table_size, cell_cap, factor)
+    inv_s = 1.0 / (factor * comm_radius)
+    if use_kernel is None:
+        use_kernel = _gridwin_enabled()
+    chunk = _fit_chunk(N, 65536 if use_kernel else 8192)
+    r2 = float(repel_dist) ** 2
+
+    def one(pos_b, vel_b):
+        px, py = pos_b[0], pos_b[1]
+        vx, vy = vel_b[0], vel_b[1]
+        cell_rows, cx, cy, ok, _ = _grid_build_table(
+            px, py, vx, vy, inv_s, H, Gx, Gy, C)
+        st = _grid_rows_chunked(
+            px, py, vx, vy, cx, cy, 0, N, chunk, cell_rows,
+            Gx, Gy, C, r2, 1, N, use_kernel=use_kernel,
+            inv_s=inv_s, factor=factor)[2]
+        rep = 2.0 * jnp.stack([st[2] + st[4], st[3] + st[5]])
+        return rep, ok
+
+    rep, ok = jax.vmap(one)(pos, vel)
+    vel_term = -(N * vel - jnp.sum(vel, axis=-1, keepdims=True))
+    return (jnp.clip(vel_term + rep, -accel_max, accel_max),
+            jnp.all(ok))
+
+
 def _jnp_expert_accel_chunked(pos, vel, repel_dist, accel_max,
                               chunk: int):
     """Centralized expert acceleration, jitted and O(B·chunk·N): the
@@ -831,7 +903,8 @@ class Flocking(Data):
     @classmethod
     def large(cls, nAgents, commRadius, repelDist, nTrain, nValid, nTest,
               duration, samplingTime, ell_degree, env_chunk=None,
-              lam_iters: int = 8, gen_batch: int = 4, rng=None, **kw):
+              lam_iters: int = 8, gen_batch: int = 4, rng=None,
+              env_grid=None, **kw):
         """Large-swarm TRAINING dataset: expert supervision generated
         on-device (``generate_trajectories_large`` — jitted chunked
         expert + chunked env, O(N·deg) everywhere) and the communication
@@ -839,7 +912,14 @@ class Flocking(Data):
         (B,T,N,N) stack (107 GB at N=4096, nTrain=8, T=100 — the
         constructor path cannot run there). Rollout defaults are set so
         TrainerFlocking/evaluate_flocking run DAGger, validation, and
-        closed-loop evaluation in the same O(N·deg) regime."""
+        closed-loop evaluation in the same O(N·deg) regime.
+
+        env_grid (True or a grid spec, round 4): generation AND all
+        downstream rollouts run on the O(N·k) cell-list grid env, with
+        the expert's collision sums from a second window pass over the
+        same cell table (``expert_repel``) — generation becomes O(N)
+        per step instead of O(N²/chunk), the 262k-to-1M TRAINING
+        regime."""
         from graph_neural_networks_tpu.ops import ell as ell_lib
         self = cls.for_rollout(nAgents, commRadius, repelDist,
                                samplingTime, rng=rng, **kw)
@@ -851,6 +931,8 @@ class Flocking(Data):
         self.rollout_ell_degree = ell_degree
         self.rollout_lam_method = "power"
         self.rollout_env_chunk = env_chunk
+        if env_grid is not None:
+            self.rollout_env_grid = env_grid
         n_samples = nTrain + nValid + nTest
         init_pos, init_vel = self.compute_initial_positions(
             nAgents, n_samples, commRadius, minDist=self.initMinDist,
@@ -860,7 +942,8 @@ class Flocking(Data):
         for lo in range(0, n_samples, gen_batch):
             outs.append(self.generate_trajectories_large(
                 init_pos[lo:lo + gen_batch], init_vel[lo:lo + gen_batch],
-                duration, ell_degree, env_chunk, lam_iters=lam_iters))
+                duration, ell_degree, env_chunk, lam_iters=lam_iters,
+                env_grid=env_grid))
         pos, vel, accel, state = (np.concatenate([o[i] for o in outs], 0)
                                   for i in range(4))
         gidx = np.concatenate([np.asarray(o[4].idx) for o in outs], 0)
@@ -883,15 +966,21 @@ class Flocking(Data):
 
     def generate_trajectories_large(self, init_pos, init_vel, duration,
                                     ell_degree: int, env_chunk: int,
-                                    lam_iters: int = 8):
+                                    lam_iters: int = 8, env_grid=None):
         """Expert supervision at large N, fully on-device: ONE jitted
         lax.scan rolls the centralized expert
         (``_jnp_expert_accel_chunked``) and computes per-step states +
         top-D ELL communication graphs (``_jnp_env_step_chunked``) —
         every stage O(N·deg) memory, replacing the constructor's
         host-side O(nSamples·T·N²) numpy generation at swarm sizes where
-        that cannot run. Returns numpy (pos, vel, accel, states
-        (B,T,6,N), graphs EllGso with (B,T,N,D) leaves)."""
+        that cannot run. env_grid: both the env AND the expert's
+        collision sums run on the O(N·k) cell-list grid
+        (``_jnp_env_step_grid(expert_repel=...)`` — the repel sums come
+        from a second window pass over the same cell table), making
+        generation O(N) per step; the velocity-consensus term is a
+        global O(N) reduction either way. Returns numpy (pos, vel,
+        accel, states (B,T,6,N), graphs EllGso with (B,T,N,D) leaves
+        [, ok exactness flag when env_grid])."""
         import jax
         import jax.numpy as jnp
         from graph_neural_networks_tpu.ops import ell as ell_lib
@@ -901,11 +990,15 @@ class Flocking(Data):
         repel = self.repelDist
         a_max_exp = 100.0                 # expert clip, reference default
         D, chunk = ell_degree, env_chunk
+        use_grid = env_grid is not None
+        if use_grid:
+            gts, gcc, gcf = _parse_env_grid(env_grid)
 
         # cache the jitted generator per static config so repeated
         # sample-batch calls (Flocking.large's gen_batch loop) do not
         # re-trace — remote compiles through the tunnel are expensive
-        key = ("gen_large", T, D, chunk, lam_iters)
+        key = ("gen_large", T, D, chunk, lam_iters,
+               None if not use_grid else (gts, gcc, gcf))
         cache = getattr(self, "_scan_cache", None)
         if cache is None:
             cache = self._scan_cache = {}
@@ -915,33 +1008,52 @@ class Flocking(Data):
             v0 = jnp.ones((B, N), pos0.dtype) / jnp.sqrt(N)
 
             def step(carry, _):
-                pos, vel, v = carry
-                i_t, s_t, x_t, v = _jnp_env_step_chunked(
-                    pos, vel, r, D, chunk, v, lam_iters=lam_iters)
-                a = _jnp_expert_accel_chunked(pos, vel, repel, a_max_exp,
-                                              chunk)
+                pos, vel, v, ok = carry
+                if use_grid:
+                    i_t, s_t, x_t, v, rep, ok_n = _jnp_env_step_grid(
+                        pos, vel, r, min(D, N), v, lam_iters=lam_iters,
+                        table_size=gts, cell_cap=gcc, cell_factor=gcf,
+                        expert_repel=repel)
+                    vel_term = -(N * vel
+                                 - jnp.sum(vel, axis=-1, keepdims=True))
+                    a = jnp.clip(vel_term + rep, -a_max_exp, a_max_exp)
+                    ok = jnp.logical_and(ok, ok_n)
+                else:
+                    i_t, s_t, x_t, v = _jnp_env_step_chunked(
+                        pos, vel, r, D, chunk, v, lam_iters=lam_iters)
+                    a = _jnp_expert_accel_chunked(pos, vel, repel,
+                                                  a_max_exp, chunk)
                 vel_n = a * dt + vel
                 pos_n = a * dt * dt / 2 + vel * dt + pos
-                return (pos_n, vel_n, v), (pos, vel, a, x_t, (i_t, s_t))
+                return ((pos_n, vel_n, v, ok),
+                        (pos, vel, a, x_t, (i_t, s_t)))
 
-            carry = (pos0, vel0, v0)
-            _, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
-                                                      length=T)
+            carry = (pos0, vel0, v0, jnp.asarray(True))
+            carry, (pos, vel, acc, xs, Ss) = jax.lax.scan(
+                step, carry, None, length=T)
             swap = lambda z: jnp.moveaxis(z, 0, 1)
             # reference convention: accel[T-1] stays zero (it never
             # drives a transition inside the horizon)
             accel = swap(acc).at[:, T - 1].set(0.0)
             return (swap(pos), swap(vel), accel, swap(xs),
-                    (swap(Ss[0]), swap(Ss[1])))
+                    (swap(Ss[0]), swap(Ss[1])), carry[-1])
 
         if key not in cache:
             cache[key] = jax.jit(gen)
         pos0 = jnp.asarray(init_pos, jnp.float32)
         vel0 = jnp.asarray(init_vel, jnp.float32)
-        pos, vel, accel, states, (gi, gv) = cache[key](pos0, vel0)
+        pos, vel, accel, states, (gi, gv), ok = cache[key](pos0, vel0)
         graphs = ell_lib.EllGso(np.asarray(gi), np.asarray(gv)[:, :, None])
-        return (np.asarray(pos), np.asarray(vel), np.asarray(accel),
-                np.asarray(states), graphs)
+        if use_grid and not bool(ok):
+            import warnings
+            warnings.warn(
+                "grid cell_cap overflowed during large-swarm expert "
+                "generation: neighbor sets (and expert collision sums) "
+                "may be incomplete — raise cell_cap/table_size",
+                RuntimeWarning)
+        out = (np.asarray(pos), np.asarray(vel), np.asarray(accel),
+               np.asarray(states), graphs)
+        return out + ((bool(ok),) if use_grid else ())
 
     # -- reference-named aliases -------------------------------------------
     def getData(self, name, samplesType, *args):

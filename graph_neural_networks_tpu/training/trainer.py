@@ -645,8 +645,29 @@ class TrainerFlocking(Trainer):
         """Optimal acceleration along a visited trajectory
         (reference training.py:1320-1400). With a chunked env configured
         (Flocking.large / rollout_env_chunk) the jitted O(N·deg) expert
-        runs instead of the O(T·N²) numpy pairwise build."""
+        runs instead of the O(T·N²) numpy pairwise build; with a grid
+        env configured (rollout_env_grid) the O(N) cell-list expert
+        runs (collision sums from one window pass at the repel
+        radius)."""
         data = self.data
+        grid = getattr(data, "rollout_env_grid", None)
+        if grid is not None:
+            from graph_neural_networks_tpu.data.flocking import (
+                _jnp_expert_accel_grid, _parse_env_grid)
+            gts, gcc, gcf = _parse_env_grid(grid)
+            B, T, _, N = pos.shape
+            a, ok = _jnp_expert_accel_grid(
+                jnp.asarray(pos.reshape(B * T, 2, N), jnp.float32),
+                jnp.asarray(vel.reshape(B * T, 2, N), jnp.float32),
+                data.commRadius, data.repelDist, data.accelMax,
+                table_size=gts, cell_cap=gcc, factor=gcf)
+            if not bool(ok):
+                import warnings
+                warnings.warn(
+                    "grid cell_cap overflowed during DAGger expert "
+                    "relabeling — raise cell_cap/table_size",
+                    RuntimeWarning)
+            return np.asarray(a, np.float64).reshape(B, T, 2, N)
         chunk = getattr(data, "rollout_env_chunk", None)
         if chunk:
             from graph_neural_networks_tpu.data.flocking import (

@@ -344,6 +344,54 @@ def test_generate_trajectories_large_parity(flock):
     np.testing.assert_allclose(S_j, g_h, rtol=1e-4, atol=1e-4)
 
 
+def test_grid_expert_and_large_generation(flock):
+    """The O(N) cell-list expert (_jnp_expert_accel_grid: collision
+    sums from one window pass at the repel radius) matches the chunked
+    all-pairs expert on both window paths, and
+    generate_trajectories_large(env_grid=...) reproduces the chunked
+    generation — the 262k+ TRAINING-data regime."""
+    import os
+    import jax.numpy as jnp
+    from graph_neural_networks_tpu.data import flocking as F
+
+    ip = flock.getData("initPos", "train")[:3]
+    iv = flock.getData("initVel", "train")[:3]
+    pos = jnp.asarray(ip, jnp.float32)
+    vel = jnp.asarray(iv, jnp.float32)
+    a_ref = F._jnp_expert_accel_chunked(pos, vel, flock.repelDist,
+                                        flock.accelMax, chunk=5)
+    for kern in (False, True):
+        if kern:
+            os.environ["GNT_GRIDWIN"] = "1"
+        try:
+            a_g, ok = F._jnp_expert_accel_grid(
+                pos, vel, flock.commRadius, flock.repelDist,
+                flock.accelMax, table_size=256,
+                cell_cap=flock.nAgents, factor=2)
+        finally:
+            os.environ.pop("GNT_GRIDWIN", None)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(a_g), np.asarray(a_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    # generation parity: grid env+expert vs chunked env+expert
+    T_s = 0.3
+    N = flock.nAgents
+    out_c = flock.generate_trajectories_large(
+        ip, iv, T_s, ell_degree=N, env_chunk=5, lam_iters=64)
+    out_g = flock.generate_trajectories_large(
+        ip, iv, T_s, ell_degree=N, env_chunk=5, lam_iters=64,
+        env_grid=(256, N))
+    assert out_g[5] is True          # grid exactness flag
+    for i, name in enumerate(["pos", "vel", "accel", "states"]):
+        np.testing.assert_allclose(out_g[i], out_c[i], rtol=1e-4,
+                                   atol=1e-4, err_msg=name)
+    # graph SETS equal (ELL slot order differs: candidate vs ascending)
+    S_g = ell_lib.ell_to_dense(out_g[4])
+    S_c = ell_lib.ell_to_dense(out_c[4])
+    np.testing.assert_allclose(S_g, S_c, rtol=1e-4, atol=1e-4)
+
+
 def test_flocking_large_training_end_to_end(tmp_path):
     """Flocking.large: on-device expert generation, EllGso graph storage,
     and a full TrainerFlocking run (DAGger epoch + validation +
