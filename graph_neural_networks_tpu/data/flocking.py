@@ -400,8 +400,25 @@ def _grid_hash(cx, cy, Gx, Gy):
             + Gx * jnp.remainder(cy, Gy)).astype(jnp.int32)
 
 
+def _grid_builder() -> str:
+    """'gather' | 'scatter' table materialization. GNT_BUILD overrides;
+    auto = 'gather' on TPU (the scatter-free build: the (7+P)·N-element
+    fancy scatter is element-latency bound at ~10-12 ns/element — 62 ms
+    at N=262k with the 18-lane fused-policy payload — while the gather
+    build pays one N-element-row gather + one H*C-row gather + a
+    streaming Pallas relayout, independent of payload width),
+    'scatter' off-TPU (XLA CPU gathers H*C rows slowly; the element
+    scatter is fine there)."""
+    import os
+    b = os.environ.get("GNT_BUILD", "")
+    if b in ("gather", "scatter"):
+        return b
+    import jax
+    return "gather" if jax.default_backend() == "tpu" else "scatter"
+
+
 def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None,
-                      pay=None):
+                      pay=None, builder=None):
     """Bin all N agents into the cell table. Returns (cell_rows
     (H, W), cx (N,), cy (N,), ok, (order, vpos)) with W = (7+P)C
     rounded up to a multiple of 128 lanes. Table rows are
@@ -414,7 +431,10 @@ def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None,
     (N, P) fills P further blocks (the policy's tap registers, so the
     same pass emits their graph shift — the fused-policy rollout).
     (order, vpos) lets later matvec passes re-scatter an updated v
-    into the same slots: ``flat_table.at[vpos].set(v[order])``."""
+    into the same slots: ``flat_table.at[vpos].set(v[order])``.
+    ``builder`` picks the materialization ('scatter' | 'gather', None
+    -> _grid_builder()'s backend default); both produce bit-identical
+    tables whenever ok=True."""
     import jax
     import jax.numpy as jnp
     N = px.shape[0]
@@ -444,17 +464,50 @@ def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None,
     if P:
         f = jnp.concatenate([f, pay.astype(px.dtype)], axis=-1)
     fs = jnp.take(f, order, axis=0)
+    base = hs * W + jnp.minimum(rank, C - 1)
+    # flat (H*W) position of the v lane for each SORTED agent
+    vpos = base + 6 * C
+    if builder is None:
+        builder = _grid_builder()
+    if builder == "gather":
+        # SCATTER-FREE build: hs is sorted, so each cell's members are
+        # a contiguous run of fs rows; one searchsorted gives every
+        # run's start (empty cells get zero-length runs), slot (c, s)
+        # reads row starts[c]+s, and one H*C-row gather + a streaming
+        # Pallas relayout (ops.gridwin.table_transpose) materialize the
+        # table. Cost is independent of the payload width P (slot rows
+        # are 128 lanes regardless), vs the element scatter's
+        # ~10-12 ns x (7+P)·N. Bit-identical to the scatter build
+        # whenever ok=True; under cell overflow the scatter's clobber
+        # winner for slot C-1 is unspecified (duplicate scatter
+        # indices) while this build deterministically keeps the C-th
+        # sorted member — callers must already treat ok=False output
+        # as unusable (env_grid_strict / RuntimeWarning).
+        F_n = 7 + P
+        assert F_n <= 128, \
+            "gather build packs one slot's features into 128 lanes"
+        fs128 = jnp.zeros((N + 1, 128), px.dtype).at[:N, :F_n].set(fs)
+        starts = jnp.searchsorted(
+            hs, jnp.arange(H, dtype=hs.dtype)).astype(jnp.int32)
+        counts = jnp.concatenate(
+            [starts[1:], jnp.full((1,), N, jnp.int32)]) - starts
+        src = starts[:, None] + jnp.arange(C, dtype=jnp.int32)[None]
+        src = jnp.where(
+            jnp.arange(C, dtype=jnp.int32)[None]
+            < jnp.minimum(counts, C)[:, None],
+            src, N)                                     # N -> zero row
+        mm = jnp.take(fs128, src.reshape(-1), axis=0)   # (H*C, 128)
+        from graph_neural_networks_tpu.ops import gridwin
+        cell_rows = gridwin.table_transpose(mm, C=C, F=F_n)
+        return cell_rows, cx, cy, ok, (order, vpos)
     # ONE fancy scatter straight into the feature-blocked flat layout:
     # agent (sorted) i's feature f lands at hs*W + f*C + min(rank, C-1).
     # The previous (H*C, 7) row scatter + (H,C,7)->(H,7,C) transpose
     # relayout cost 38.7 ms at N=262k (tile padding); this is 17.3 ms,
     # bit-identical (probe_build_variants.json).
-    base = hs * W + jnp.minimum(rank, C - 1)
     pos = base[:, None] + (jnp.arange(7 + P, dtype=jnp.int32) * C)[None]
     flat = jnp.zeros((H * W,), px.dtype).at[pos].set(fs, mode="drop")
     cell_rows = flat.reshape(H, W)
-    # flat (H*W) position of the v lane for each SORTED agent
-    vpos = base + 6 * C
     return cell_rows, cx, cy, ok, (order, vpos)
 
 

@@ -137,6 +137,64 @@ def _out_width(d_max: int, n_pay: int = 0) -> int:
     return -(-(2 * d_max + 8 + n_pay) // 128) * 128
 
 
+def _make_xpose_kernel(TH: int, C: int, F: int, W: int):
+    FC = F * C
+
+    def kernel(mm_ref, out_ref):
+        x = mm_ref[:]                                 # (TH*C, 128)
+        xt = jnp.swapaxes(x.reshape(TH, C, 128), 1, 2)   # (TH, 128, C)
+        out = xt[:, :F, :].reshape(TH, FC)
+        if FC < W:
+            out = jnp.concatenate(
+                [out, jnp.zeros((TH, W - FC), x.dtype)], axis=1)
+        out_ref[:] = out
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("C", "F", "tile_h",
+                                             "interpret"))
+def table_transpose(mm, *, C: int, F: int, tile_h: int = 0,
+                    interpret=None):
+    """(H*C, 128) member-major slot rows -> (H, W) feature-blocked cell
+    rows, W = ceil(F*C/128)*128: out[h, f*C + c] = mm[h*C + c, f].
+
+    The scatter-free table build (data.flocking._grid_build_table,
+    builder='gather') row-gathers each cell's members from the sorted
+    feature rows — that lands member-major, but the window kernel's
+    operand contract is feature-blocked. This kernel is the relayout:
+    pure streaming (read H*C*512 B, write H*W*4 B) with the (C, 128)
+    -> (128, C) flips done in VMEM, where they cost register shuffles
+    instead of the padded HBM round-trip an XLA transpose of the same
+    array pays. interpret=None auto-enables interpret mode off-TPU."""
+    HC, L = mm.shape
+    assert L == 128 and HC % C == 0, (mm.shape, C)
+    H = HC // C
+    assert 0 < F <= 128, F
+    W = -(-F * C // 128) * 128
+    if not tile_h:
+        # ~1 MB input block (x2 pipeline buffers + the transposed copy)
+        tile_h = max(1, 2 ** 20 // (C * 128 * mm.dtype.itemsize))
+    th = min(tile_h, H)
+    while H % th:
+        th -= 1
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        _make_xpose_kernel(th, C, F, W),
+        grid=(H // th,),
+        in_specs=[pl.BlockSpec((th * C, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((th, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), mm.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=bool(interpret),
+    )(mm)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "C", "r2", "d_max", "row_tile", "wv_only", "n_pay", "interpret"))
 def grid_window(cand, own, *, C: int, r2: float, d_max: int,

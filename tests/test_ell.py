@@ -657,6 +657,60 @@ def test_gridwin_kernel_matches_xla_window_path():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_grid_gather_build_matches_scatter_build():
+    """The scatter-free table build (builder='gather': searchsorted
+    run starts + H*C-row gather + Pallas table_transpose relayout,
+    interpret mode on CPU) is bit-identical to the element-scatter
+    build across payload widths, including the ok flag, cell coords
+    and the (order, vpos) v-refresh contract — and a grid env step on
+    a gather-built table reproduces the scatter-built step exactly."""
+    from graph_neural_networks_tpu.data import flocking as F
+    rng = np.random.default_rng(11)
+    N = 1024
+    r = 2.0
+    H, Gx, Gy, C = F._grid_geometry(N, None, 32, 2)
+    px = jnp.asarray(rng.uniform(0, 50, N), jnp.float32)
+    py = jnp.asarray(rng.uniform(0, 50, N), jnp.float32)
+    vx = jnp.asarray(rng.normal(size=N), jnp.float32)
+    vy = jnp.asarray(rng.normal(size=N), jnp.float32)
+    v0 = jnp.asarray(rng.normal(size=N), jnp.float32)
+    pay = jnp.asarray(rng.normal(size=(N, 5)), jnp.float32)
+    inv_s = 1.0 / (2 * r)
+    for kw in (dict(), dict(v=v0), dict(v=v0, pay=pay)):
+        a = F._grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C,
+                                builder="scatter", **kw)
+        b = F._grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C,
+                                builder="gather", **kw)
+        assert bool(a[3]) and bool(b[3])
+        np.testing.assert_array_equal(np.asarray(a[0]),
+                                      np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]),
+                                      np.asarray(b[1]))
+        np.testing.assert_array_equal(np.asarray(a[2]),
+                                      np.asarray(b[2]))
+        np.testing.assert_array_equal(np.asarray(a[4][0]),
+                                      np.asarray(b[4][0]))
+        np.testing.assert_array_equal(np.asarray(a[4][1]),
+                                      np.asarray(b[4][1]))
+    # end-to-end: a full grid env step under each builder
+    import os
+    pos = jnp.stack([px, py])[None]
+    vel = jnp.stack([vx, vy])[None]
+    step = lambda: F._jnp_env_step_grid(
+        pos, vel, 2.0, 16, v0[None], lam_iters=0, cell_cap=32,
+        cell_factor=2)
+    os.environ["GNT_BUILD"] = "scatter"
+    try:
+        ref = step()
+        os.environ["GNT_BUILD"] = "gather"
+        got = step()
+    finally:
+        os.environ.pop("GNT_BUILD", None)
+    assert bool(ref[-1]) and bool(got[-1])
+    for x, y in zip(ref[:-1], got[:-1]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_grid_quad_scheme_matches_3x3():
     """The 2x2 side-2r window scheme (cell_factor=2, the env_grid=True
     default) produces the same neighbor SETS, states and lambda as the
