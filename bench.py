@@ -46,7 +46,12 @@ minus T=5, over 20): round 3's "1.3x scan residual" turned out to be
 the cold-start env (lam_iters=32) amortized into a 5-step average
 (probe_gridwin_internals), so per-step numbers here exclude init by
 construction. `vs_baseline` remains the band-kernel ratio (unchanged
-definition since r2).
+definition since r2). Two flagship numbers are emitted:
+`flagship_step_ms` is the train-shaped rollout (the scan also emits
+the ELL graph trajectory DAGger consumes) and `flagship_eval_step_ms`
+(return_graphs=False) is the eval-shaped one (zero-column graphs,
+bit-identical trajectories); `flagship_agent_steps_per_s` is defined
+on the eval-shaped step.
 """
 
 import json
@@ -275,8 +280,15 @@ def bench_config(N, R, density, bandwidth, dtype_name="f32", kernel="band",
 
 def bench_flagship(N=262144, D=32, t_short=5, t_long=25):
     """Marginal closed-loop step time of the flagship N=262144 grid-env
-    rollout (policy + env + physics inside one lax.scan). Returns
-    (t_step_ms, agent_steps_per_s)."""
+    rollout (policy + env + physics inside one lax.scan), in both
+    trajectory modes:
+      * train-shaped (return_graphs=True): the scan also emits the
+        (T, N, D) ELL graph trajectory — what DAGger training consumes;
+      * eval-shaped (return_graphs=False): zero-column graphs — the
+        window kernel skips its rank/selection block and the scan skips
+        the graph stacking; positions are bit-identical (exactness
+        tested in tests/test_rollout_step.py).
+    Returns (t_train_ms, t_eval_ms, agent_steps_per_s_eval)."""
     import jax
     import jax.numpy as jnp
     from graph_neural_networks_tpu.data import flocking as F
@@ -293,32 +305,39 @@ def bench_flagship(N=262144, D=32, t_short=5, t_long=25):
                             bias=True, nonlinearity="tanh",
                             dimReadout=[2], dimEdgeFeatures=1)
     params = net.init(jax.random.PRNGKey(1), N=64, T=4)
-    # lam_iters=0 = the zero-pass Rayleigh fold, the recommended
-    # large-swarm setting (5.7e-6 relative cost error vs a converged
-    # 64-iteration reference, probe_lambda_fidelity.json)
-    init_fn, step_fn = env._chunked_pieces(
-        net.causal_window, net, D, None, 0, step_mode=True,
-        env_grid=True)
 
-    def chain(T):
-        @jax.jit
-        def f(params, pos, vel):
-            carry, _ = init_fn(pos, vel)
-            carry, ys = jax.lax.scan(
-                lambda c, _: step_fn(params, c), carry, None, length=T)
-            return sum(jnp.sum(jnp.asarray(l, jnp.float32))
-                       for l in jax.tree_util.tree_leaves((carry, ys)))
-        r = f(params, pos, vel)
-        jax.block_until_ready(r)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+    def marginal(return_graphs):
+        # lam_iters=0 = the zero-pass Rayleigh fold, the recommended
+        # large-swarm setting (5.7e-6 relative cost error vs a
+        # converged 64-iteration reference, probe_lambda_fidelity.json)
+        init_fn, step_fn = env._chunked_pieces(
+            net.causal_window, net, D, None, 0, step_mode=True,
+            env_grid=True, return_graphs=return_graphs)
+
+        def chain(T):
+            @jax.jit
+            def f(params, pos, vel):
+                carry, _ = init_fn(pos, vel)
+                carry, ys = jax.lax.scan(
+                    lambda c, _: step_fn(params, c), carry, None,
+                    length=T)
+                return sum(jnp.sum(jnp.asarray(l, jnp.float32))
+                           for l in jax.tree_util.tree_leaves(
+                               (carry, ys)))
             r = f(params, pos, vel)
             jax.block_until_ready(r)
-            best = min(best, time.perf_counter() - t0)
-        return best * 1e3
-    t_step_ms = (chain(t_long) - chain(t_short)) / (t_long - t_short)
-    return t_step_ms, N / (t_step_ms / 1e3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                r = f(params, pos, vel)
+                jax.block_until_ready(r)
+                best = min(best, time.perf_counter() - t0)
+            return best * 1e3
+        return (chain(t_long) - chain(t_short)) / (t_long - t_short)
+
+    t_train_ms = marginal(True)
+    t_eval_ms = marginal(False)
+    return t_train_ms, t_eval_ms, N / (t_eval_ms / 1e3)
 
 
 def bench_dense(N, R, dtype_name="f32", K=5, repeat=20):
@@ -428,9 +447,9 @@ def main():
                             check=False)
     # flagship: N=262144 closed-loop grid-env rollout, marginal step
     try:
-        flag_ms, flag_aps = bench_flagship()
+        flag_ms, flag_eval_ms, flag_aps = bench_flagship()
     except Exception as e:  # never lose the kernel headline to a flagship
-        flag_ms, flag_aps = -1.0, -1.0
+        flag_ms, flag_eval_ms, flag_aps = -1.0, -1.0, -1.0
         print(json.dumps({"flagship_error": repr(e)[:200]}),
               file=sys.stderr, flush=True)
 
@@ -449,6 +468,7 @@ def main():
         "roofline_pct_production": round(res_prod["roofline_pct"], 1),
         "edge_fraction": round(res["edge_fraction"], 4),
         "flagship_step_ms": round(flag_ms, 1),
+        "flagship_eval_step_ms": round(flag_eval_ms, 1),
         "flagship_agent_steps_per_s": round(flag_aps, 0),
     }))
 

@@ -648,19 +648,25 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
         [red(dvx * mf), red(dvy * mf),
          red(dpx * inv ** 2), red(dpy * inv ** 2),
          red(dpx * inv), red(dpy * inv)], axis=0)  # (6, rows)
-    cid_fill = jnp.where(m, cid, jnp.int32(n_total))
-    # first-d_max neighbors: rank-compare min-reduce directly over the
-    # candidates' ORIGINAL (global) ids (one match per rank)
-    rdt = jnp.int8 if d_max < 127 else jnp.int32
-    rk = jnp.minimum(jnp.cumsum(m.astype(jnp.int32), axis=-1),
-                     d_max + 1).astype(rdt)
-    tgt = jnp.arange(1, d_max + 1, dtype=rdt)
-    candidates = jnp.where(
-        m[:, None, :] & (rk[:, None, :] == tgt[:, None]),
-        cid_fill[:, None, :], jnp.int32(n_total))
-    idx = jnp.min(candidates, axis=-1)               # (rows, d_max)
-    val = (idx < n_total).astype(pxc.dtype)
-    idx = jnp.where(idx < n_total, idx, 0)
+    if d_max == 0:
+        # no-selection mode: zero-width ELL columns (rollouts that
+        # don't emit the graph — states/wv/wpay are untruncated)
+        idx = jnp.zeros((rows, 0), jnp.int32)
+        val = jnp.zeros((rows, 0), pxc.dtype)
+    else:
+        cid_fill = jnp.where(m, cid, jnp.int32(n_total))
+        # first-d_max neighbors: rank-compare min-reduce directly over
+        # the candidates' ORIGINAL (global) ids (one match per rank)
+        rdt = jnp.int8 if d_max < 127 else jnp.int32
+        rk = jnp.minimum(jnp.cumsum(m.astype(jnp.int32), axis=-1),
+                         d_max + 1).astype(rdt)
+        tgt = jnp.arange(1, d_max + 1, dtype=rdt)
+        candidates = jnp.where(
+            m[:, None, :] & (rk[:, None, :] == tgt[:, None]),
+            cid_fill[:, None, :], jnp.int32(n_total))
+        idx = jnp.min(candidates, axis=-1)           # (rows, d_max)
+        val = (idx < n_total).astype(pxc.dtype)
+        idx = jnp.where(idx < n_total, idx, 0)
     if n_pay:
         wpay = jnp.stack([red(cand[7 + p] * mf) for p in range(n_pay)],
                          axis=-1)                    # (rows, n_pay)
@@ -1273,7 +1279,7 @@ class Flocking(Data):
     def _scan_rollout(self, T: int, w: int, policy, ell_degree=None,
                       lam_method: str = "eig", env_chunk=None,
                       lam_iters: int = 8, step_mode: bool = False,
-                      env_grid=None):
+                      env_grid=None, return_graphs: bool = True):
         """Build (and cache) a jitted lax.scan closed-loop rollout: the
         whole T-step env+model loop is ONE compiled program (no host
         round-trip per physics step — the reference pathology at
@@ -1310,7 +1316,7 @@ class Flocking(Data):
         step_mode = bool(step_mode and hasattr(policy, "rollout_step"))
         import os
         key = (T, w, id(policy), ell_degree, lam_method, env_chunk,
-               lam_iters, step_mode, env_grid,
+               lam_iters, step_mode, env_grid, return_graphs,
                bool(os.environ.get("GNT_NO_FUSED_POLICY")),
                bool(os.environ.get("GNT_FUSED_POLICY")))
         cache = getattr(self, "_scan_cache", None)
@@ -1328,7 +1334,8 @@ class Flocking(Data):
                 "graph layout)"
             init_fn, step_fn = self._chunked_pieces(
                 w, policy, ell_degree, env_chunk, lam_iters,
-                step_mode=step_mode, env_grid=env_grid)
+                step_mode=step_mode, env_grid=env_grid,
+                return_graphs=return_graphs)
 
             def rollout_chunked(params, init_pos, init_vel):
                 carry, (x0, i0, s0) = init_fn(init_pos, init_vel)
@@ -1453,7 +1460,8 @@ class Flocking(Data):
         return cache[key]
 
     def _chunked_pieces(self, w, policy, ell_degree, env_chunk, lam_iters,
-                        step_mode: bool = False, env_grid=None):
+                        step_mode: bool = False, env_grid=None,
+                        return_graphs: bool = True):
         """init/step closures shared by the monolithic and segmented
         chunked rollouts. carry = (pos, vel, x-window, ell-idx-window,
         ell-val-window, lambda_max eigenvector [, ok]) — or, in
@@ -1508,9 +1516,20 @@ class Flocking(Data):
                  and pw > 0
                  and (bool(os.environ.get("GNT_FUSED_POLICY"))
                       or pw <= 1.5 * ell_degree))
+        # return_graphs=False: the ELL graph trajectory comes back with
+        # ZERO columns (d_max=0 skips the kernel's whole rank/selection
+        # block and the per-step (N, D) ys stacking). Only legal when
+        # nothing consumes the graph in the loop: the fused policy
+        # shifts its registers via the window pass's untruncated mask
+        # sums, so trajectories are unchanged (exact — d_max only ever
+        # truncated the EMITTED graph, not the dynamics).
+        assert return_graphs or fused, \
+            "return_graphs=False requires the fused-policy grid " \
+            "rollout (non-fused step/window policies consume the ELL " \
+            "graph each step)"
 
         def env_step(pos, vel, v, N, iters, payload=None):
-            D = min(ell_degree, N)
+            D = min(ell_degree, N) if return_graphs else 0
             if use_grid:
                 return _jnp_env_step_grid(
                     pos, vel, r, D, v, lam_iters=iters,
@@ -1686,7 +1705,8 @@ class Flocking(Data):
                            history_window=None, jit=True, ell_degree=None,
                            lam_method: str = "eig", env_chunk=None,
                            lam_iters: int = 8, seg=None, step_mode=None,
-                           env_grid=None, env_grid_strict: bool = False):
+                           env_grid=None, env_grid_strict: bool = False,
+                           return_graphs: bool = True):
         """Roll the swarm forward. Either apply a given open-loop `accel`
         sequence, or run `archit` (params, x_hist, S_hist) -> accel closed
         loop: at each step the model sees the (zero-padded) history and its
@@ -1701,6 +1721,14 @@ class Flocking(Data):
         RuntimeError — use it in long training/eval runs where a
         filtered warning would let incomplete neighbor sets pass
         silently (the sharded API instead returns the raw ok flag).
+
+        return_graphs=False (fused-policy grid rollouts only): the
+        returned graph trajectory has ZERO ELL columns — evaluation /
+        cost callers that never read the graph skip both the window
+        kernel's rank/selection block and the O(T·N·D) graph stacking.
+        Positions/velocities are EXACT vs return_graphs=True (the
+        fused policy's register shifts are untruncated mask sums;
+        d_max only ever shaped the emitted graph).
 
         lam_iters: warm-started power iterations for the per-step
         lambda_max. The eigenvector carried across steps tracks the
@@ -1794,6 +1822,10 @@ class Flocking(Data):
                 assert env_chunk is not None or env_grid is not None, \
                     "seg= requires env_chunk or env_grid (the O(N*deg) " \
                     "env path is what the segmented rollout segments)"
+                assert return_graphs, \
+                    "return_graphs=False is monolithic-only (the " \
+                    "segmented rollout's per-segment host pulls " \
+                    "include the graph slices)"
                 roll = self._scan_rollout_segmented(
                     T, w, archit,
                     ell_degree=ell_degree, env_chunk=env_chunk,
@@ -1808,7 +1840,8 @@ class Flocking(Data):
                                       env_chunk=env_chunk,
                                       lam_iters=lam_iters,
                                       step_mode=step_mode,
-                                      env_grid=env_grid)
+                                      env_grid=env_grid,
+                                      return_graphs=return_graphs)
             out = roll(params, jnp.asarray(initPos, jnp.float32),
                        jnp.asarray(initVel, jnp.float32))
             # graphs may be an EllGso pytree (ell_degree mode): convert

@@ -101,22 +101,31 @@ def _make_kernel(C: int, r2: float, d_max: int, OW: int, wv_only: bool,
         s_acc = [red(dvx * mf), red(dvy * mf),
                  red(dpx * inv * inv), red(dpy * inv * inv),
                  red(dpx * inv), red(dpy * inv)]
-        # prefix-sum ranks via a lower-triangular ones matmul (MXU)
-        tri = jnp.tril(jnp.ones((M, M), dt))
-        rk = jax.lax.dot_general(
-            mf, tri, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dt)
-        # first-d_max selection: rank t+1 matches exactly one masked
-        # lane (cumsum increments only on masked lanes), so the gated
-        # sum IS the selected id; ids are offset by +1 so 0 = none
-        g = (cid + 1.0) * mf
-        cols = [jnp.sum(g * (rk == float(t + 1)).astype(dt),
-                        axis=1, keepdims=True) for t in range(d_max)]
-        sel = jnp.concatenate(cols, axis=1)           # (TA, d_max)
-        val = (sel > 0.0).astype(dt)
-        idxf = jnp.maximum(sel - 1.0, 0.0)
+        if d_max == 0:
+            # no-selection mode (rollouts that don't emit the ELL
+            # graph): states, wv and the payload shifts are mask sums —
+            # the whole rank/selection block (tri matmul + d_max
+            # compare-gather passes) is skipped
+            sel_out = []
+        else:
+            # prefix-sum ranks via a lower-triangular ones matmul (MXU)
+            tri = jnp.tril(jnp.ones((M, M), dt))
+            rk = jax.lax.dot_general(
+                mf, tri, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt)
+            # first-d_max selection: rank t+1 matches exactly one
+            # masked lane (cumsum increments only on masked lanes), so
+            # the gated sum IS the selected id; ids are offset by +1
+            # so 0 = none
+            g = (cid + 1.0) * mf
+            cols = [jnp.sum(g * (rk == float(t + 1)).astype(dt),
+                            axis=1, keepdims=True) for t in range(d_max)]
+            sel = jnp.concatenate(cols, axis=1)       # (TA, d_max)
+            val = (sel > 0.0).astype(dt)
+            idxf = jnp.maximum(sel - 1.0, 0.0)
+            sel_out = [idxf, val]
         cnt = jnp.sum(mf, axis=1, keepdims=True)
-        out = [idxf, val] + s_acc + [wv, cnt]
+        out = sel_out + s_acc + [wv, cnt]
         # payload fold: the table's blocks 7..6+n_pay carry arbitrary
         # per-agent features (the policy's delayed tap registers,
         # models.architectures_time.rollout_payload); their masked sums

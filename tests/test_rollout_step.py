@@ -269,6 +269,34 @@ def test_fused_policy_rollout_matches_unfused(monkeypatch):
         np.testing.assert_allclose(v_fuse, v_ref, rtol=2e-4, atol=2e-4)
 
 
+def test_fused_rollout_return_graphs_false_exact(monkeypatch):
+    """return_graphs=False (the eval/benchmark mode) leaves the fused
+    grid rollout's positions/velocities/states EXACTLY unchanged and
+    returns a zero-column ELL graph trajectory; it is rejected outside
+    the fused-policy rollout (non-fused policies consume the graph)."""
+    env, ip, iv = _small_env()
+    net = archt.LocalGNN_DB([6, 8], [3], True, "tanh", [2], 1)
+    params = net.init(jax.random.PRNGKey(31), N=24, T=3)
+    kw = dict(archit=net, params=params, ell_degree=24, env_grid=True,
+              step_mode=True, history_window=net.causal_window)
+    monkeypatch.setenv("GNT_FUSED_POLICY", "1")
+    p0, v0, a0, x0, g0 = env.compute_trajectory(ip, iv, 0.6, **kw)
+    p1, v1, a1, x1, g1 = env.compute_trajectory(
+        ip, iv, 0.6, return_graphs=False, **kw)
+    np.testing.assert_array_equal(p1, p0)
+    np.testing.assert_array_equal(v1, v0)
+    np.testing.assert_array_equal(a1, a0)
+    np.testing.assert_array_equal(x1, x0)
+    assert g1.idx.shape[-1] == 0 and g0.idx.shape[-1] == 24
+    monkeypatch.delenv("GNT_FUSED_POLICY")
+    # non-fused step mode must reject the flag loudly
+    import pytest as _pytest
+    monkeypatch.setenv("GNT_NO_FUSED_POLICY", "1")
+    with _pytest.raises(AssertionError):
+        env.compute_trajectory(ip, iv, 0.6, return_graphs=False, **kw)
+    monkeypatch.delenv("GNT_NO_FUSED_POLICY")
+
+
 def test_rollout_segmented_step_mode_and_t1():
     """Segmented step-mode rollout == monolithic; T<=1 returns the
     init-only trajectory instead of crashing (ADVICE r2)."""
