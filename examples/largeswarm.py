@@ -141,7 +141,8 @@ def main():
         ip, iv, deploy_T_s, archit=arch, params=params,
         history_window=arch.causal_window, ell_degree=args.ellDegree,
         env_chunk=env_chunk, env_grid=env_grid, lam_method="power",
-        lam_iters=args.lamIters)
+        lam_iters=args.lamIters,
+        return_graphs="auto")   # deploy eval only reads pos/vel
     t_roll = time.perf_counter() - t0
     cost = float(env.evaluate(vel=vel))
     T_steps = vel.shape[1]

@@ -1523,6 +1523,11 @@ class Flocking(Data):
         # shifts its registers via the window pass's untruncated mask
         # sums, so trajectories are unchanged (exact — d_max only ever
         # truncated the EMITTED graph, not the dynamics).
+        # "auto" = False exactly when this rollout is fused: what
+        # eval-only callers (evaluate_flocking, Trainer validation)
+        # pass so they never pay for graphs they don't read.
+        if return_graphs == "auto":
+            return_graphs = not fused
         assert return_graphs or fused, \
             "return_graphs=False requires the fused-policy grid " \
             "rollout (non-fused step/window policies consume the ELL " \
@@ -1728,7 +1733,9 @@ class Flocking(Data):
         kernel's rank/selection block and the O(T·N·D) graph stacking.
         Positions/velocities are EXACT vs return_graphs=True (the
         fused policy's register shifts are untruncated mask sums;
-        d_max only ever shaped the emitted graph).
+        d_max only ever shaped the emitted graph). "auto" = False
+        exactly when the rollout is fused — safe for any caller that
+        never reads the returned graphs, at any scale/config.
 
         lam_iters: warm-started power iterations for the per-step
         lambda_max. The eigenvector carried across steps tracks the

@@ -87,7 +87,8 @@ def evaluate_flocking(model, data, nVideos: int = 0, **kwargs):
         pos, vel, _, _, _ = data.compute_trajectory(
             init_pos, init_vel, data.duration, archit=policy,
             params=m.params,
-            history_window=getattr(m.archit, "causal_window", None))
+            history_window=getattr(m.archit, "causal_window", None),
+            return_graphs="auto")   # cost eval never reads the graphs
         full = float(data.evaluate(vel=vel))
         end = float(data.evaluate(vel=vel[:, -1:]))
         return {"full": full, "end": end, "pos": pos}

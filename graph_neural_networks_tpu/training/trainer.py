@@ -768,5 +768,7 @@ class TrainerFlocking(Trainer):
         _, vel, _, _, _ = data.compute_trajectory(
             init_pos, init_vel, data.duration, archit=self._policy(),
             params=params,
-            history_window=getattr(self.model.archit, "causal_window", None))
+            history_window=getattr(self.model.archit, "causal_window",
+                                   None),
+            return_graphs="auto")   # validation cost never reads them
         return float(data.evaluate(vel=vel))

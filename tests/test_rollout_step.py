@@ -288,7 +288,17 @@ def test_fused_rollout_return_graphs_false_exact(monkeypatch):
     np.testing.assert_array_equal(a1, a0)
     np.testing.assert_array_equal(x1, x0)
     assert g1.idx.shape[-1] == 0 and g0.idx.shape[-1] == 24
+    # "auto" = False exactly when fused: zero-width here ...
+    ga = env.compute_trajectory(ip, iv, 0.6, return_graphs="auto",
+                                **kw)[4]
+    assert ga.idx.shape[-1] == 0
     monkeypatch.delenv("GNT_FUSED_POLICY")
+    # ... and full-width when fusion is off (graph-consuming rollout)
+    monkeypatch.setenv("GNT_NO_FUSED_POLICY", "1")
+    ga = env.compute_trajectory(ip, iv, 0.6, return_graphs="auto",
+                                **kw)[4]
+    assert ga.idx.shape[-1] == 24
+    monkeypatch.delenv("GNT_NO_FUSED_POLICY")
     # non-fused step mode must reject the flag loudly
     import pytest as _pytest
     monkeypatch.setenv("GNT_NO_FUSED_POLICY", "1")
