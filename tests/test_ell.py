@@ -675,23 +675,27 @@ def test_grid_gather_build_matches_scatter_build():
     vy = jnp.asarray(rng.normal(size=N), jnp.float32)
     v0 = jnp.asarray(rng.normal(size=N), jnp.float32)
     pay = jnp.asarray(rng.normal(size=(N, 5)), jnp.float32)
-    inv_s = 1.0 / (2 * r)
-    for kw in (dict(), dict(v=v0), dict(v=v0, pay=pay)):
-        a = F._grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C,
-                                builder="scatter", **kw)
-        b = F._grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C,
-                                builder="gather", **kw)
-        assert bool(a[3]) and bool(b[3])
-        np.testing.assert_array_equal(np.asarray(a[0]),
-                                      np.asarray(b[0]))
-        np.testing.assert_array_equal(np.asarray(a[1]),
-                                      np.asarray(b[1]))
-        np.testing.assert_array_equal(np.asarray(a[2]),
-                                      np.asarray(b[2]))
-        np.testing.assert_array_equal(np.asarray(a[4][0]),
-                                      np.asarray(b[4][0]))
-        np.testing.assert_array_equal(np.asarray(a[4][1]),
-                                      np.asarray(b[4][1]))
+    # quad scheme (C=32) and the 3x3 side-r scheme (C=16, F*C=112
+    # exercises the transpose's odd-width lane pad)
+    geoms = [(H, Gx, Gy, C, 1.0 / (2 * r)),
+             F._grid_geometry(N, 4096, 16, 1)[:4] + (1.0 / r,)]
+    for Hg, Gxg, Gyg, Cg, inv_s in geoms:
+        for kw in (dict(), dict(v=v0), dict(v=v0, pay=pay)):
+            a = F._grid_build_table(px, py, vx, vy, inv_s, Hg, Gxg,
+                                    Gyg, Cg, builder="scatter", **kw)
+            b = F._grid_build_table(px, py, vx, vy, inv_s, Hg, Gxg,
+                                    Gyg, Cg, builder="gather", **kw)
+            assert bool(a[3]) and bool(b[3])
+            np.testing.assert_array_equal(np.asarray(a[0]),
+                                          np.asarray(b[0]))
+            np.testing.assert_array_equal(np.asarray(a[1]),
+                                          np.asarray(b[1]))
+            np.testing.assert_array_equal(np.asarray(a[2]),
+                                          np.asarray(b[2]))
+            np.testing.assert_array_equal(np.asarray(a[4][0]),
+                                          np.asarray(b[4][0]))
+            np.testing.assert_array_equal(np.asarray(a[4][1]),
+                                          np.asarray(b[4][1]))
     # end-to-end: a full grid env step under each builder
     import os
     pos = jnp.stack([px, py])[None]
