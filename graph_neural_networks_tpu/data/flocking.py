@@ -1911,6 +1911,95 @@ class Flocking(Data):
     computeTrajectory = compute_trajectory
 
     # -- cost (reference dataTools.py:3082-3164) ----------------------------
+    def rollout_cost(self, initPos, initVel, duration, archit, params,
+                     history_window=None, ell_degree=None,
+                     env_chunk=None, env_grid=None, lam_iters: int = 8,
+                     step_mode=None, env_grid_strict: bool = False):
+        """Closed-loop rollout reduced to the flocking cost ON DEVICE:
+        returns (cost_full, cost_end) — ``evaluate``'s velocity-variance
+        cost over the whole trajectory and at the final step — with the
+        per-step cost accumulated in the scan CARRY. No trajectory is
+        ever stacked or pulled to host (O(N) device memory, two scalars
+        d2h), so million-agent / long-horizon evaluation runs at the
+        rollout's own speed — ``compute_trajectory`` + host
+        ``evaluate`` materializes O(T·N) arrays and pays the tunnel
+        d2h (~25 MB/s here) on all of them. Exact: same init/step
+        closures as the compiled rollout (graphs skipped only where
+        that is exact, return_graphs='auto'), same cost formula as
+        ``evaluate`` (reference evaluation.py:170-328 computes this
+        cost from pulled trajectories; dataTools.py:3342+ the cost).
+
+        Requires the compiled-rollout conditions (traceable archit
+        with explicit params and a finite window or step interface)
+        and ell_degree (+ env_chunk or env_grid) — the large-swarm
+        configuration this path exists for."""
+        step_mode = bool((step_mode is None or step_mode)
+                         and hasattr(archit, "rollout_step"))
+        if ell_degree is None:
+            ell_degree = self.rollout_ell_degree
+        if env_chunk is None:
+            env_chunk = getattr(self, "rollout_env_chunk", None)
+        if env_grid is None:
+            env_grid = getattr(self, "rollout_env_grid", None)
+        assert ell_degree is not None and (
+            env_chunk is not None or env_grid is not None), \
+            "rollout_cost is the O(N*deg) compiled path: pass " \
+            "ell_degree and env_chunk or env_grid (or construct via " \
+            "Flocking.for_rollout/large)"
+        w = (int(history_window) if history_window is not None
+             else getattr(archit, "causal_window", 0) or 0)
+        T = len(np.arange(0, duration, self.samplingTime))
+        import os
+        key = ("cost", T, w, id(archit), ell_degree, env_chunk,
+               lam_iters, step_mode, env_grid,
+               bool(os.environ.get("GNT_NO_FUSED_POLICY")),
+               bool(os.environ.get("GNT_FUSED_POLICY")))
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        if key not in cache:
+            import jax
+            import jax.numpy as jnp
+            init_fn, step_fn = self._chunked_pieces(
+                w, archit, ell_degree, env_chunk, lam_iters,
+                step_mode=step_mode, env_grid=env_grid,
+                return_graphs="auto")
+
+            def stepcost(vel):                        # (B,2,N) -> (B,)
+                d = vel - jnp.mean(vel, axis=-1, keepdims=True)
+                return jnp.mean(jnp.sum(d * d, axis=1), axis=-1)
+
+            def roll(params, init_pos, init_vel):
+                carry, _ = init_fn(init_pos, init_vel)
+                c0 = stepcost(init_vel)
+
+                def body(cc, _):
+                    carry, acc, _last = cc
+                    carry, ys = step_fn(params, carry)
+                    c = stepcost(ys[1])               # vel_n
+                    return (carry, acc + c, c), None
+
+                (carry, acc, last), _ = jax.lax.scan(
+                    body, (carry, c0, c0), None, length=T - 1)
+                ok = (carry[-1] if env_grid is not None
+                      else jnp.asarray(True))
+                return jnp.mean(acc), jnp.mean(last), ok
+
+            cache[key] = jax.jit(roll)
+        import jax.numpy as jnp
+        cf, ce, ok = cache[key](params,
+                                jnp.asarray(initPos, jnp.float32),
+                                jnp.asarray(initVel, jnp.float32))
+        if env_grid is not None and not bool(np.asarray(ok)):
+            msg = ("grid env: a hash cell overflowed cell_cap during "
+                   "the rollout — neighbor sets may be incomplete; "
+                   "raise cell_cap or table_size")
+            if env_grid_strict:
+                raise RuntimeError(msg)
+            import warnings
+            warnings.warn(msg, RuntimeWarning)
+        return float(cf), float(ce)
+
     def evaluate(self, vel=None, accel=None, initVel=None, samplingTime=None):
         """Velocity-variance flocking cost: sum over time of the mean squared
         deviation from the swarm-average velocity, averaged over samples."""

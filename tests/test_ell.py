@@ -657,6 +657,36 @@ def test_gridwin_kernel_matches_xla_window_path():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_rollout_cost_matches_host_evaluate():
+    """Flocking.rollout_cost (cost accumulated in the scan carry, no
+    trajectory materialized or pulled) matches compute_trajectory +
+    host evaluate on both the full-trajectory and final-step costs,
+    for the chunked and grid envs."""
+    from graph_neural_networks_tpu.data.flocking import Flocking
+    from graph_neural_networks_tpu.models import (
+        architectures_time as archt)
+    rng = np.random.default_rng(5)
+    env = Flocking.for_rollout(48, commRadius=2.0, repelDist=1.0,
+                               samplingTime=0.01, rng=rng)
+    ip, iv = env.compute_initial_positions(
+        48, 2, env.commRadius, minDist=env.initMinDist,
+        geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
+    net = archt.LocalGNN_DB([6, 8], [3], True, "tanh", [2], 1)
+    params = net.init(jax.random.PRNGKey(2), N=48, T=3)
+    for env_kw in (dict(env_chunk=24), dict(env_grid=(256, 16))):
+        kw = dict(archit=net, params=params, ell_degree=16,
+                  history_window=net.causal_window, **env_kw)
+        _, vel, *_ = env.compute_trajectory(ip, iv, 0.5, **kw)
+        ref_full = float(env.evaluate(vel=vel))
+        ref_end = float(env.evaluate(vel=vel[:, -1:]))
+        cf, ce = env.rollout_cost(ip, iv, 0.5, net, params,
+                                  ell_degree=16,
+                                  history_window=net.causal_window,
+                                  **env_kw)
+        np.testing.assert_allclose(cf, ref_full, rtol=1e-4)
+        np.testing.assert_allclose(ce, ref_end, rtol=1e-3, atol=1e-7)
+
+
 def test_grid_gather_build_matches_scatter_build():
     """The scatter-free table build (builder='gather': searchsorted
     run starts + H*C-row gather + Pallas table_transpose relayout,
