@@ -228,7 +228,8 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
                           mesh: Mesh, axis: str = "graph", n_orig=None,
                           lam_iters: int = 8,
                           env_chunk: Optional[int] = None,
-                          env_grid=None, step_mode: bool = False):
+                          env_grid=None, step_mode: bool = False,
+                          return_cost: bool = False):
     """Build a jitted closed-loop rollout over the mesh: the mirror of
     ``Flocking._scan_rollout(env_chunk=...)`` with every array
     node-sharded and the graph windows as ShardedEllGso. policy:
@@ -247,8 +248,15 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
     windows, no separate register gather.
 
     Returns rollout(params, pos_pad, vel_pad) -> (pos, vel, accel,
-    states, ShardedEllGso graph trajectory), all (B,T,...) node-sharded.
-    """
+    states, ShardedEllGso graph trajectory), all (B,T,...) node-sharded
+    [+ the grid exactness flag].
+
+    return_cost=True: the mesh form of ``Flocking.rollout_cost`` — the
+    velocity-variance cost (pad agents masked out) accumulates in the
+    scan carry and the rollout returns (cost_full, cost_end[, ok])
+    scalars instead of trajectories: nothing O(T·N) is ever stacked,
+    device-resident, or pulled — the million-agent multi-chip
+    evaluation path."""
     if step_mode:
         assert (hasattr(policy, "rollout_step_shifted")
                 and hasattr(policy, "rollout_payload")
@@ -264,8 +272,27 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
 
     def rollout(params, init_pos, init_vel):
         B, _, Npad = init_pos.shape
-        mask = (jnp.arange(Npad) < (Npad if n_orig is None else n_orig))
+        n_eff = Npad if n_orig is None else n_orig
+        mask = (jnp.arange(Npad) < n_eff)
         mask = mask.astype(init_pos.dtype)[None, None]        # 1,1,Npad
+
+        def stepcost(vel):                            # (B,2,Npad)->(B,)
+            vbar = jnp.sum(vel * mask, axis=-1, keepdims=True) / n_eff
+            d = (vel - vbar) * mask
+            return jnp.sum(d * d, axis=(1, 2)) / n_eff
+
+        def cost_scan(step, carry0):
+            c0 = stepcost(init_vel)
+
+            def body(cc, _):
+                carry, acc, _last = cc
+                carry, ys = step(carry, None)
+                c = stepcost(ys[1])                   # vel_n
+                return (carry, acc + c, c), None
+
+            (carry, acc, last), _ = jax.lax.scan(
+                body, (carry0, c0, c0), None, length=T - 1)
+            return carry, jnp.mean(acc), jnp.mean(last)
         v0 = jnp.ones((B, Npad), init_pos.dtype) / jnp.sqrt(Npad)
         i0, s0, x0, v0, ok0 = sharded_env_step(
             init_pos, init_vel, comm_radius, d_max, mesh, axis,
@@ -292,6 +319,12 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
                         (pos_n, vel_n, a, x_n, (i_n, s_n)))
 
             carry = (init_pos, init_vel, x0, sh0, pstate0, v0, ok0)
+            if return_cost:
+                carry, cf, ce = cost_scan(step, carry)
+                out = (cf, ce)
+                if env_grid is not None:
+                    out = out + (carry[-1],)
+                return out
             carry, (pos, vel, acc, xs, Ss) = jax.lax.scan(
                 step, carry, None, length=T - 1)
             swap = lambda z: jnp.moveaxis(z, 0, 1)
@@ -330,6 +363,12 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
                     (pos_n, vel_n, a, x_n, (i_n, s_n)))
 
         carry = (init_pos, init_vel, xw, iw, vw, v0, ok0)
+        if return_cost:
+            carry, cf, ce = cost_scan(step, carry)
+            out = (cf, ce)
+            if env_grid is not None:
+                out = out + (carry[-1],)
+            return out
         carry, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
                                                       length=T - 1)
         swap = lambda z: jnp.moveaxis(z, 0, 1)

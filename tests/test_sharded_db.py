@@ -187,6 +187,49 @@ def test_sharded_swarm_rollout_parity(gmesh, n_agents):
         np.testing.assert_allclose(pp, np.broadcast_to(pp[:, :1], pp.shape))
 
 
+def test_sharded_swarm_rollout_return_cost(gmesh):
+    """return_cost=True (the mesh form of Flocking.rollout_cost)
+    matches the cost computed from the same sharded rollout's pulled
+    trajectories — pad agents masked out — on both the windowed and
+    fused step-mode paths."""
+    from graph_neural_networks_tpu.data.flocking import Flocking
+
+    N = 12
+    env = Flocking.for_rollout(N, commRadius=6.0, repelDist=1.0,
+                               samplingTime=0.125,
+                               rng=np.random.default_rng(0))
+    ip, iv = env.compute_initial_positions(
+        N, 2, env.commRadius, minDist=env.initMinDist,
+        geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(0), N=N, T=2)
+    policy = lambda p, xw, Sw: arch.apply(
+        p, jnp.asarray(xw, jnp.float32), Sw)
+    w = arch.causal_window
+    T = 6
+    pos_p, vel_p, n_orig = par.pad_swarm(ip, iv, gmesh)
+    for kw in (dict(),
+               dict(env_grid=(256, 16), step_mode=True)):
+        pol = arch if kw.get("step_mode") else policy
+        base = dict(mesh=gmesh, n_orig=n_orig, lam_iters=64, **kw)
+        roll = par.sharded_swarm_rollout(
+            T, w, pol, env.commRadius, env.samplingTime, env.accelMax,
+            d_max=N, **base)
+        out = roll(params, pos_p, vel_p)
+        vel_t = np.asarray(out[1])[..., :n_orig]
+        ref_full = float(env.evaluate(vel=vel_t))
+        ref_end = float(env.evaluate(vel=vel_t[:, -1:]))
+        roll_c = par.sharded_swarm_rollout(
+            T, w, pol, env.commRadius, env.samplingTime, env.accelMax,
+            d_max=N, return_cost=True, **base)
+        out_c = roll_c(params, pos_p, vel_p)
+        cf, ce = float(out_c[0]), float(out_c[1])
+        if "env_grid" in kw:
+            assert bool(out_c[2]) and bool(out[-1])
+        np.testing.assert_allclose(cf, ref_full, rtol=1e-4)
+        np.testing.assert_allclose(ce, ref_end, rtol=1e-3, atol=1e-7)
+
+
 def test_sharded_swarm_rollout_grnn_policy(gmesh):
     """The recurrent controller (GraphRecurrentNN_DB) as the sharded
     swarm policy: mesh rollout == single-device chunked rollout."""
