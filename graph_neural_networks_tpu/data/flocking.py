@@ -413,8 +413,10 @@ def _grid_builder() -> str:
     b = os.environ.get("GNT_BUILD", "")
     if b in ("gather", "scatter"):
         return b
-    import jax
-    return "gather" if jax.default_backend() == "tpu" else "scatter"
+    # default stays 'scatter' until the gather build's table_transpose
+    # kernel is validated on real TPU (probe_build_gather.py) — flip
+    # the TPU default here once the on-chip numbers land
+    return "scatter"
 
 
 def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None,
