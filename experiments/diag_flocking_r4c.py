@@ -1,4 +1,4 @@
-"""Round-4 flocking sweep, part 2 (resume after B_r2base).
+"""Round-4 flocking sweep, part 3: D_pe8 (stronger learner mixing).
 
 The full 9-config randomEpoch sweep + replaceTimeBatch finale is
 infeasible at this session's tunnel d2h rate (~1 h/config: the DAGger
@@ -12,7 +12,7 @@ runs the highest-information remainder only:
   * decomposition — per-step cost curve for expert vs best-so-far
 
 replaceTimeBatch is dropped: r2 measured randomEpoch within 0.6% of
-it at equal epochs. Writes experiments/diag_flocking_r4b.json; the
+it at equal epochs. Writes experiments/diag_flocking_r4c.json; the
 summarizer merges r4 + r4b.
 """
 
@@ -32,7 +32,7 @@ from graph_neural_networks_tpu.models import architectures_time as archt
 from graph_neural_networks_tpu import training as T
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-out_f = open(os.path.join(HERE, "diag_flocking_r4b.json"), "w",
+out_f = open(os.path.join(HERE, "diag_flocking_r4c.json"), "w",
              buffering=1)
 
 
@@ -112,8 +112,8 @@ def main():
 
     best = None
     explore = [
-        dict(name="G_scaled", F=[64], K=[3], epochs=2 if smoke else 40,
-             dagger="randomEpoch", pe=.9, lr=5e-4, scaled=True),
+        dict(name="D_pe8", F=[64], K=[3], epochs=2 if smoke else 40,
+             dagger="randomEpoch", pe=.8, lr=5e-4),
     ]
     for cfg in explore:
         try:
