@@ -251,6 +251,11 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     H, Gx, Gy, C = _grid_geometry(N, table_size, cell_cap, cell_factor)
     r2 = comm_radius ** 2
     inv_s = 1.0 / (cell_factor * comm_radius)
+    if expert_repel is not None:
+        # cells are sized by comm_radius: a larger repel radius would
+        # silently drop collision pairs outside the window (ADVICE r4)
+        assert float(expert_repel) <= float(comm_radius), \
+            (expert_repel, comm_radius)
     if use_kernel is None:
         use_kernel = _gridwin_enabled()
     # 'auto' = the window lambda on every grid path (kernel or XLA):
@@ -272,7 +277,11 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
     # CompilerParams.vmem_limit_bytes in ops.gridwin). The chunk
     # budget scales inversely with the table row width so the
     # per-chunk gather workspace stays bounded when payload blocks
-    # widen the rows.
+    # widen the rows. The 65536*256 anchor gives 65536 rows at the
+    # quad scheme's payload-free Wt=256 (unchanged from the r3
+    # tuning) and 131072 at the 3x3 scheme's Wt=128 (2x the r3
+    # chunk, ADVICE r4); both were exercised on-chip at 262k
+    # (probe_gridwin_v2.json, probe_fused_policy.json).
     Wt = -(-(7 + P) * C // 128) * 128
     chunk = _fit_chunk(
         N, max(4096, 65536 * 256 // Wt) if use_kernel else 8192)
@@ -288,7 +297,16 @@ def _jnp_env_step_grid(pos, vel, comm_radius, d_max, v_prev,
             Gx, Gy, C, r2, d_max, N, use_kernel=use_kernel,
             inv_s=inv_s, factor=cell_factor, n_pay=P)
         if P:
-            idx, val, states, wv, wpay = rows_out
+            idx, val, states, wv, wpay, cnt = rows_out
+            if d_max > 0:
+                # fused-policy coverage check: the payload shift sums
+                # the UNTRUNCATED mask while the emitted ELL graph is
+                # truncated to d_max — if any agent's true in-degree
+                # exceeds d_max the two silently diverge (DAGger
+                # training graphs inconsistent with the dynamics that
+                # produced them), so surface it through the same ok
+                # flag as cell overflow (ADVICE r4).
+                ok = jnp.logical_and(ok, jnp.max(cnt) <= d_max)
         else:
             idx, val, states, wv = rows_out
         if expert_repel is not None:
@@ -402,13 +420,16 @@ def _grid_hash(cx, cy, Gx, Gy):
 
 def _grid_builder() -> str:
     """'gather' | 'scatter' table materialization. GNT_BUILD overrides;
-    auto = 'gather' on TPU (the scatter-free build: the (7+P)·N-element
-    fancy scatter is element-latency bound at ~10-12 ns/element — 62 ms
-    at N=262k with the 18-lane fused-policy payload — while the gather
-    build pays one N-element-row gather + one H*C-row gather + a
-    streaming Pallas relayout, independent of payload width),
-    'scatter' off-TPU (XLA CPU gathers H*C rows slowly; the element
-    scatter is fine there)."""
+    the default is currently 'scatter' EVERYWHERE, pending on-chip
+    validation of the gather build (probe_build_gather.py). The
+    intended future default is 'gather' on TPU (the scatter-free
+    build: the (7+P)·N-element fancy scatter is element-latency bound
+    at ~10-12 ns/element — 62 ms at N=262k with the 18-lane
+    fused-policy payload — while the gather build pays one
+    N-element-row gather + one H*C-row gather + a streaming Pallas
+    relayout, independent of payload width) and 'scatter' off-TPU
+    (XLA CPU gathers H*C rows slowly; the element scatter is fine
+    there)."""
     import os
     b = os.environ.get("GNT_BUILD", "")
     if b in ("gather", "scatter"):
@@ -546,7 +567,9 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     payload blocks — the UNTRUNCATED graph shift of each payload
     feature (the fused-policy register shift; truncation-free like wv,
     so it matches the ELL shift exactly whenever d_max covers the true
-    max in-degree).
+    max in-degree) — and cnt (rows,): each row's TRUE in-degree (the
+    untruncated mask sum), so callers can verify the d_max-coverage
+    condition instead of assuming it.
 
     factor 1: the agent's 3x3 cell neighborhood (side-r cells, 9
     windows). factor >= 2: side-factor*r cells — every neighbor within
@@ -612,7 +635,8 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
         wv = out[:, 2 * d_max + 6]
         if n_pay:
             wpay = out[:, 2 * d_max + 8:2 * d_max + 8 + n_pay]
-            return idx, val, st, wv, wpay
+            cnt = out[:, 2 * d_max + 7]
+            return idx, val, st, wv, wpay, cnt
         return idx, val, st, wv
 
     # pure-XLA window path (CPU / GNT_NO_GRIDWIN)
@@ -672,7 +696,8 @@ def _grid_rows(pxc, pyc, vxc, vyc, cxc, cyc, own_ids, cell_rows,
     if n_pay:
         wpay = jnp.stack([red(cand[7 + p] * mf) for p in range(n_pay)],
                          axis=-1)                    # (rows, n_pay)
-        return idx, val, st, wv, wpay
+        cnt = red(mf)                                # true in-degree
+        return idx, val, st, wv, wpay, cnt
     return idx, val, st, wv
 
 
@@ -701,11 +726,12 @@ def _grid_rows_chunked(px, py, vx, vy, cx, cy, lo0, n_rows, chunk,
     if wv_only:
         return jax.lax.map(window, los).reshape(n_rows)
     if n_pay:
-        idxs, vals, sts, wvs, wps = jax.lax.map(window, los)
+        idxs, vals, sts, wvs, wps, cnts = jax.lax.map(window, los)
         return (idxs.reshape(n_rows, d_max),
                 vals.reshape(n_rows, d_max),
                 jnp.moveaxis(sts, 0, 1).reshape(6, n_rows),
-                wvs.reshape(n_rows), wps.reshape(n_rows, n_pay))
+                wvs.reshape(n_rows), wps.reshape(n_rows, n_pay),
+                cnts.reshape(n_rows))
     idxs, vals, sts, wvs = jax.lax.map(window, los)
     return (idxs.reshape(n_rows, d_max), vals.reshape(n_rows, d_max),
             jnp.moveaxis(sts, 0, 1).reshape(6, n_rows),
@@ -793,6 +819,8 @@ def _jnp_expert_accel_grid(pos, vel, comm_radius, repel_dist, accel_max,
     import jax
     import jax.numpy as jnp
     B, _, N = pos.shape
+    assert float(repel_dist) <= float(comm_radius), \
+        (repel_dist, comm_radius)   # cells sized by comm_radius
     H, Gx, Gy, C = _grid_geometry(N, table_size, cell_cap, factor)
     inv_s = 1.0 / (factor * comm_radius)
     if use_kernel is None:
@@ -845,6 +873,43 @@ def _jnp_expert_accel_chunked(pos, vel, repel_dist, accel_max,
     reps = jax.lax.map(one, jnp.arange(N // chunk) * chunk)
     repel = jnp.moveaxis(reps, 0, 2).reshape(B, 2, N)
     return jnp.clip(vel_term + repel, -accel_max, accel_max)
+
+
+def _jnp_recompute_supervision(pos, vel, comm_radius, repel_dist,
+                               accel_max, lam_method: str = "eig",
+                               zero_last: bool = True):
+    """Device recompute of everything DAGger training needs from a
+    trajectory's (pos, vel) alone: (states (B,T,6,N), expert accel
+    (B,T,2,N), normalized comm graphs (B,T,N,N)).
+
+    The TPU-native half of the device-resident DAGger store
+    (TrainerFlocking deviceStore): trajectories live on device as
+    pos/vel only — 125x smaller than the dense graph stacks at the
+    reference config — and states/graphs/expert labels are recomputed
+    inside the jitted train step (recompute-over-transfer, the same
+    trade the grid env makes; the reference keeps all four arrays as
+    host numpy and re-pulls them every randomEpoch re-roll,
+    training.py:1258-1331 + dataTools.py:2612-3020).
+
+    Matches the host pipeline (compute_states / compute_
+    communication_graph / the trainer's _expert_accel) to f32 rounding;
+    zero_last additionally zeroes accel[T-1] — the reference
+    convention (it never drives a transition inside the horizon), also
+    applied by compute_optimal_trajectory. Dense all-pairs math: meant
+    for reference-scale N (the large-swarm grid store recomputes via
+    the cell-list passes instead)."""
+    import jax.numpy as jnp
+    B, T, _, N = pos.shape
+    pf = pos.reshape(B * T, 2, N)
+    vf = vel.reshape(B * T, 2, N)
+    S = _jnp_comm_graph(pf, comm_radius, lam_method)
+    x = _jnp_states(pf, vf, S)
+    y = _jnp_expert_accel_chunked(pf, vf, repel_dist, accel_max, N)
+    x = x.reshape(B, T, 6, N)
+    y = y.reshape(B, T, 2, N)
+    if zero_last:
+        y = y.at[:, T - 1].set(0.0)
+    return x, y, S.reshape(B, T, N, N)
 
 
 def compute_differences(u: np.ndarray):
@@ -1281,7 +1346,8 @@ class Flocking(Data):
     def _scan_rollout(self, T: int, w: int, policy, ell_degree=None,
                       lam_method: str = "eig", env_chunk=None,
                       lam_iters: int = 8, step_mode: bool = False,
-                      env_grid=None, return_graphs: bool = True):
+                      env_grid=None, return_graphs: bool = True,
+                      traj_only: bool = False):
         """Build (and cache) a jitted lax.scan closed-loop rollout: the
         whole T-step env+model loop is ONE compiled program (no host
         round-trip per physics step — the reference pathology at
@@ -1311,14 +1377,25 @@ class Flocking(Data):
         env_grid=(table_size, cell_cap) or True (requires ell_degree):
         O(N·k) cell-list env step (``_jnp_env_step_grid``) — the rollout
         additionally returns a trailing exactness flag ``ok`` (False iff
-        some hash cell overflowed cell_cap during the roll)."""
+        some hash cell overflowed cell_cap during the roll).
+
+        traj_only=True: the scan's per-step outputs are (pos, vel) ONLY
+        — no accel/states/graph trajectory is ever stacked (the loop
+        still computes whatever the policy consumes). The rollout
+        returns (pos, vel) [+ ok], all on device: the device-resident
+        DAGger path (TrainerFlocking deviceStore) re-rolls learner
+        trajectories without materializing or pulling the O(T·N·D)
+        graph stacks that made randomEpoch d2h-bound (~2 min/epoch at
+        the reference config through the ~25 MB/s tunnel; states and
+        graphs are recomputed on device in the training batch
+        instead — _jnp_recompute_supervision)."""
         import jax
         import jax.numpy as jnp
         from graph_neural_networks_tpu.ops import ell as ell_lib
         step_mode = bool(step_mode and hasattr(policy, "rollout_step"))
         import os
         key = (T, w, id(policy), ell_degree, lam_method, env_chunk,
-               lam_iters, step_mode, env_grid, return_graphs,
+               lam_iters, step_mode, env_grid, return_graphs, traj_only,
                bool(os.environ.get("GNT_NO_FUSED_POLICY")),
                bool(os.environ.get("GNT_FUSED_POLICY")))
         cache = getattr(self, "_scan_cache", None)
@@ -1341,6 +1418,23 @@ class Flocking(Data):
 
             def rollout_chunked(params, init_pos, init_vel):
                 carry, (x0, i0, s0) = init_fn(init_pos, init_vel)
+
+                if traj_only:
+                    def step_t(carry, _):
+                        carry, ys = step_fn(params, carry)
+                        return carry, ys[:2]          # pos, vel only
+
+                    carry, (pos, vel) = jax.lax.scan(
+                        step_t, carry, None, length=T - 1)
+                    swap = lambda z: jnp.moveaxis(z, 0, 1)
+                    pos = jnp.concatenate(
+                        [init_pos[:, None], swap(pos)], axis=1)
+                    vel = jnp.concatenate(
+                        [init_vel[:, None], swap(vel)], axis=1)
+                    out = (pos, vel)
+                    if env_grid is not None:
+                        out = out + (carry[-1],)
+                    return out
 
                 def step(carry, _):
                     return step_fn(params, carry)
@@ -1395,6 +1489,12 @@ class Flocking(Data):
 
                 carry = (init_pos, init_vel, x0, to_out(S0),
                          policy.rollout_init(params, B, N))
+                if traj_only:
+                    st = lambda c, u: (lambda o: (o[0], o[1][:2]))(
+                        step(c, u))
+                    _, (pos, vel) = jax.lax.scan(st, carry, None,
+                                                 length=T - 1)
+                    return _assemble_pv(init_pos, init_vel, pos, vel)
                 _, (pos, vel, acc, xs, Ss) = jax.lax.scan(
                     step, carry, None, length=T - 1)
                 return _assemble(init_pos, init_vel, x0, S0, pos, vel,
@@ -1434,10 +1534,20 @@ class Flocking(Data):
                 return (pos_n, vel_n, xw, Sw), (pos_n, vel_n, a, x_n, S_out)
 
             carry = (init_pos, init_vel, xw, Sw)
+            if traj_only:
+                st = lambda c, u: (lambda o: (o[0], o[1][:2]))(step(c, u))
+                _, (pos, vel) = jax.lax.scan(st, carry, None,
+                                             length=T - 1)
+                return _assemble_pv(init_pos, init_vel, pos, vel)
             _, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
                                                       length=T - 1)
             return _assemble(init_pos, init_vel, x0, S0, pos, vel, acc,
                              xs, Ss)
+
+        def _assemble_pv(init_pos, init_vel, pos, vel):
+            swap = lambda z: jnp.moveaxis(z, 0, 1)
+            return (jnp.concatenate([init_pos[:, None], swap(pos)], axis=1),
+                    jnp.concatenate([init_vel[:, None], swap(vel)], axis=1))
 
         def _assemble(init_pos, init_vel, x0, S0, pos, vel, acc, xs, Ss):
             # prepend t=0; accel convention matches the host loop: a from
@@ -1817,8 +1927,11 @@ class Flocking(Data):
                 *out, ok = out
                 if not bool(np.asarray(ok)):
                     msg = ("grid env: a hash cell overflowed cell_cap "
-                           "during the rollout — neighbor sets may be "
-                           "incomplete; raise cell_cap or table_size")
+                           "during the rollout (raise cell_cap/"
+                           "table_size), or — fused-policy rollouts — "
+                           "some agent's in-degree exceeded d_max "
+                           "(raise ell_degree): neighbor sets / "
+                           "emitted graphs may be incomplete")
                     if env_grid_strict:
                         raise RuntimeError(msg)
                     import warnings
@@ -1912,6 +2025,61 @@ class Flocking(Data):
 
     computeTrajectory = compute_trajectory
 
+    def rollout_traj_device(self, initPos, initVel, duration, archit,
+                            params, history_window=None,
+                            ell_degree=None, lam_method: str = "eig",
+                            env_chunk=None, lam_iters: int = 8,
+                            step_mode=None, env_grid=None,
+                            env_grid_strict: bool = False):
+        """Compiled closed-loop rollout returning DEVICE (pos, vel)
+        (B,T,2,N) jnp.float32 arrays — nothing else is stacked in the
+        scan and nothing is pulled to host (the grid exactness flag is
+        the only scalar sync). The device-resident DAGger path: the
+        trainer re-rolls learner trajectories with this and recomputes
+        states/graphs/expert labels on device in the training batch
+        (``_jnp_recompute_supervision``), so randomEpoch stops paying
+        the ~25 MB/s tunnel d2h on dense graph trajectories (~2 min/
+        epoch at the reference config, measured 2026-08-20). Same
+        compiled step closures as ``compute_trajectory`` — positions
+        and velocities are bit-identical to the full rollout
+        (test_training.py deviceStore parity)."""
+        step_mode = bool((step_mode is None or step_mode)
+                         and hasattr(archit, "rollout_step"))
+        assert history_window is not None or step_mode, \
+            "rollout_traj_device needs the compiled rollout (a finite " \
+            "history_window or a step-interface architecture)"
+        if ell_degree is None:
+            ell_degree = self.rollout_ell_degree
+        if lam_method == "eig" and self.rollout_lam_method != "eig":
+            lam_method = self.rollout_lam_method
+        if env_chunk is None:
+            env_chunk = getattr(self, "rollout_env_chunk", None)
+        if env_grid is None:
+            env_grid = getattr(self, "rollout_env_grid", None)
+        import jax.numpy as jnp
+        T = len(np.arange(0, duration, self.samplingTime))
+        w = int(history_window) if history_window is not None else 0
+        roll = self._scan_rollout(
+            T, w, archit, ell_degree=ell_degree, lam_method=lam_method,
+            env_chunk=env_chunk, lam_iters=lam_iters,
+            step_mode=step_mode, env_grid=env_grid,
+            return_graphs="auto" if env_grid is not None else True,
+            traj_only=True)
+        out = roll(params, jnp.asarray(initPos, jnp.float32),
+                   jnp.asarray(initVel, jnp.float32))
+        if env_grid is not None:
+            pos, vel, ok = out
+            if not bool(np.asarray(ok)):
+                msg = ("grid env: cell_cap overflow or (fused) "
+                       "in-degree > d_max during the rollout — "
+                       "results may be incomplete")
+                if env_grid_strict:
+                    raise RuntimeError(msg)
+                import warnings
+                warnings.warn(msg, RuntimeWarning)
+            return pos, vel
+        return out
+
     # -- cost (reference dataTools.py:3082-3164) ----------------------------
     def rollout_cost(self, initPos, initVel, duration, archit, params,
                      history_window=None, ell_degree=None,
@@ -1994,8 +2162,10 @@ class Flocking(Data):
                                 jnp.asarray(initVel, jnp.float32))
         if env_grid is not None and not bool(np.asarray(ok)):
             msg = ("grid env: a hash cell overflowed cell_cap during "
-                   "the rollout — neighbor sets may be incomplete; "
-                   "raise cell_cap or table_size")
+                   "the rollout (raise cell_cap/table_size), or — "
+                   "fused-policy rollouts — some agent's in-degree "
+                   "exceeded d_max (raise ell_degree): neighbor sets "
+                   "/ emitted graphs may be incomplete")
             if env_grid_strict:
                 raise RuntimeError(msg)
             import warnings

@@ -136,7 +136,14 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
                     lo0, Np, gchunk, cell_rows, Gx, Gy, Cc, r2,
                     d_max, N, inv_s=inv_s, factor=gcf, n_pay=n_pay)
                 if n_pay:
-                    i_, v_, s_, _wv, wp_ = out
+                    i_, v_, s_, _wv, wp_, cnt_ = out
+                    if d_max > 0:
+                        # fused-payload coverage: the shift sums the
+                        # untruncated mask while the emitted ELL graph
+                        # truncates to d_max — surface in-degree
+                        # overflow like cell overflow (ADVICE r4)
+                        ok_b = jnp.logical_and(
+                            ok_b, jnp.max(cnt_) <= d_max)
                 else:
                     (i_, v_, s_, _wv), wp_ = out, jnp.zeros(
                         (Np, 0), pf_b.dtype)

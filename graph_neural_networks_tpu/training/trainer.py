@@ -491,12 +491,47 @@ class TrainerFlocking(Trainer):
         # batching, DAGger mutation, expert relabeling — stays in the
         # O(N·deg) layout and nothing dense(N²) is ever built.
         self.ellDegree = kwargs.get("ellDegree")
+        # deviceStore=True: the DEVICE-RESIDENT trajectory store. The
+        # training set lives on device as (n,T,2,N) pos/vel ONLY —
+        # states, normalized comm graphs, and expert labels are
+        # recomputed inside the jitted train step
+        # (flocking._jnp_recompute_supervision), and DAGger re-rolls
+        # run flocking.rollout_traj_device (nothing stacked or pulled:
+        # randomEpoch's dense (B,T,N,N) graph pulls through the
+        # ~25 MB/s tunnel were ~2 min/epoch at the reference config).
+        # Supports no-DAGger, randomEpoch, and replaceTimeBatch;
+        # fixedBatch concatenates fresh rollouts per batch and stays on
+        # the host path. Training math matches the host store to f32
+        # rounding (test_training.py parity); validation cost is
+        # computed on device from the vel trajectory alone.
+        self.deviceStore = bool(kwargs.get("deviceStore", False))
+        if self.deviceStore:
+            assert (self.probExpert is None
+                    or kwargs.get("DAGgerType", "randomEpoch")
+                    in ("randomEpoch", "replaceTimeBatch")), \
+                "deviceStore supports no-DAGger, randomEpoch and " \
+                "replaceTimeBatch (fixedBatch rolls out per batch on " \
+                "host)"
+            assert self.ellDegree is None, \
+                "deviceStore currently recomputes dense reference-" \
+                "scale graphs in the train step (ellDegree " \
+                "unsupported); use the host store for ELL training"
         super().__init__(model, data, nEpochs, batchSize, **kwargs)
+        self.initPosAll = data.getData("initPos", "train")
+        self.initVelAll = data.getData("initVel", "train")
+        if self.deviceStore:
+            import jax.numpy as jnp
+            self.posAll = jnp.asarray(data.getData("pos", "train"),
+                                      jnp.float32)
+            self.velAll = jnp.asarray(data.getData("vel", "train"),
+                                      jnp.float32)
+            # jnp arrays are immutable: Orig handles are free snapshots
+            self.posOrig, self.velOrig = self.posAll, self.velAll
+            self.rolloutChunk = int(kwargs.get("rolloutChunk", 16))
+            return
         # training trajectories (kept in numpy; DAGger mutates them)
         self.xAll, self.yAll = data.getSamples("train")
         self.SAll = self._S_copy(data.getData("commGraph", "train"))
-        self.initPosAll = data.getData("initPos", "train")
-        self.initVelAll = data.getData("initVel", "train")
         self.xOrig = self.xAll.copy()
         self.yOrig = self.yAll.copy()
         self.SOrig = self._S_copy(self.SAll)
@@ -542,6 +577,8 @@ class TrainerFlocking(Trainer):
 
     # forward takes (x, S)
     def _build_step(self):
+        if getattr(self, "deviceStore", False):
+            return self._build_step_device()
         loss_fn = self.model.loss
         optimizer = self.model.optimizer
         arch = self.model.archit
@@ -563,6 +600,44 @@ class TrainerFlocking(Trainer):
 
         self._finalize_step(step)
 
+    def _build_step_device(self):
+        """Train step over the device-resident store: operands are the
+        batch's (pos, vel) trajectories; states / graphs / expert
+        labels are recomputed on device INSIDE the step (constant wrt
+        params — outside the grad closure)."""
+        import jax
+        import jax.numpy as jnp
+        loss_fn = self.model.loss
+        optimizer = self.model.optimizer
+        arch = self.model.archit
+        data = self.data
+        needs_rng = _accepts_rng(arch.split_forward)
+        lam_method = ("power" if getattr(data, "rollout_lam_method",
+                                         "eig") == "power" else "eig")
+        from graph_neural_networks_tpu.data import flocking as F
+
+        def step(params, opt_state, pos, vel, aux, key):
+            x, y, S = F._jnp_recompute_supervision(
+                pos, vel, data.commRadius, data.repelDist,
+                data.accelMax, lam_method)
+            S5 = S[:, :, None]
+
+            def objective(p):
+                pc, xc, Sc = self._mixed(p, x, S5)
+                if needs_rng:
+                    yHat = arch.split_forward(pc, xc, Sc, rng=key)[0]
+                else:
+                    yHat = arch.split_forward(pc, xc, Sc)[0]
+                return loss_fn(yHat.astype(jnp.float32), y)
+
+            loss, grads = jax.value_and_grad(objective)(params)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._finalize_step(step)
+
     def _scan_eligible(self) -> bool:
         # fixedBatch rolls out the policy (host) inside every train_batch;
         # replaceTimeBatch mutates the training set before every batch —
@@ -579,6 +654,10 @@ class TrainerFlocking(Trainer):
         return jnp.asarray(S5, jnp.float32)
 
     def _step_args(self, idx):
+        if self.deviceStore:
+            idxd = jnp.asarray(np.asarray(idx))
+            return (jnp.take(self.posAll, idxd, axis=0),
+                    jnp.take(self.velAll, idxd, axis=0), None)
         x = self.xAll[idx]
         y = self.yAll[idx]
         S = self._S_index(self.SAll, idx)
@@ -587,6 +666,7 @@ class TrainerFlocking(Trainer):
 
     def train_batch(self, idx):
         if self.doDAGger and self.DAGgerType == "fixedBatch" \
+                and not self.deviceStore \
                 and self._step_count > 0:
             x = self.xAll[idx]
             y = self.yAll[idx]
@@ -735,11 +815,49 @@ class TrainerFlocking(Trainer):
     def _fixed_batch_dagger(self, init_pos, init_vel):
         return self._rollout_policy(init_pos, init_vel)
 
+    def _device_store_update(self, sel):
+        """Re-roll the policy from initial conditions `sel` (host int
+        array) and write the (pos, vel) trajectories into the device
+        store. Rollouts run in fixed-size chunks (one compiled shape);
+        pad rollouts target the out-of-bounds sentinel index and are
+        dropped by the scatter, so every epoch reuses the same compiled
+        update regardless of how many samples DAGger re-rolls."""
+        data = self.data
+        n = self.posAll.shape[0]
+        chunk = self.rolloutChunk
+        window = getattr(self.model.archit, "causal_window", None)
+        for lo in range(0, len(sel), chunk):
+            sub = np.asarray(sel[lo:lo + chunk])
+            keep = len(sub)
+            pad = chunk - keep
+            ip = self.initPosAll[sub]
+            iv = self.initVelAll[sub]
+            if pad:
+                ip = np.concatenate([ip, ip[:1].repeat(pad, 0)], 0)
+                iv = np.concatenate([iv, iv[:1].repeat(pad, 0)], 0)
+            pos, vel = data.rollout_traj_device(
+                ip, iv, data.duration, self._policy_archit(),
+                self.model.params, history_window=window)
+            tgt = jnp.asarray(np.concatenate(
+                [sub, np.full(pad, n)]).astype(np.int32))
+            self.posAll = self.posAll.at[tgt].set(pos, mode="drop")
+            self.velAll = self.velAll.at[tgt].set(vel, mode="drop")
+
+    def _policy_archit(self):
+        """The architecture itself (step/window interfaces) for device
+        rollouts; _policy() wraps it for the host/compiled paths."""
+        return self.model.archit
+
     def _random_epoch_dagger(self, epoch):
         p = max(self.probExpert ** epoch, 0.5)
-        n = self.xOrig.shape[0]
+        n = self.initPosAll.shape[0]
         use_expert = self.rng.binomial(1, p, n).astype(bool)
         learner_idx = np.flatnonzero(~use_expert)
+        if self.deviceStore:
+            self.posAll, self.velAll = self.posOrig, self.velOrig
+            if len(learner_idx):
+                self._device_store_update(learner_idx)
+            return
         self.xAll = self.xOrig.copy()
         self.yAll = self.yOrig.copy()
         self.SAll = self._S_copy(self.SOrig)
@@ -751,9 +869,12 @@ class TrainerFlocking(Trainer):
             self._S_setitem(self.SAll, learner_idx, Ss)
 
     def _replace_time_batch_dagger(self, epoch, nReplace: int = 10):
-        n = self.xAll.shape[0]
+        n = self.initPosAll.shape[0]
         nReplace = min(nReplace, n)
         sel = self.rng.permutation(n)[:nReplace]
+        if self.deviceStore:
+            self._device_store_update(sel)
+            return
         xs, ys, Ss = self._rollout_policy(self.initPosAll[sel],
                                           self.initVelAll[sel])
         self.xAll[sel] = xs
@@ -765,10 +886,28 @@ class TrainerFlocking(Trainer):
         data = self.data
         init_pos = data.getData("initPos", "valid")
         init_vel = data.getData("initVel", "valid")
+        window = getattr(self.model.archit, "causal_window", None)
+        if self.deviceStore:
+            # device rollout + on-device velocity-variance cost: the
+            # only d2h is the final scalar (same formula as evaluate)
+            _, vel = data.rollout_traj_device(
+                init_pos, init_vel, data.duration,
+                self._policy_archit(), params, history_window=window)
+            if not hasattr(self, "_jnp_cost"):
+                import jax
+
+                @jax.jit
+                def _cost(vel):
+                    vbar = jnp.mean(vel, axis=3, keepdims=True)
+                    d = vel - vbar
+                    c_t = jnp.mean(jnp.sum(d * d, axis=2), axis=2)
+                    return jnp.mean(jnp.sum(c_t, axis=1))
+
+                self._jnp_cost = _cost
+            return float(self._jnp_cost(vel))
         _, vel, _, _, _ = data.compute_trajectory(
             init_pos, init_vel, data.duration, archit=self._policy(),
             params=params,
-            history_window=getattr(self.model.archit, "causal_window",
-                                   None),
+            history_window=window,
             return_graphs="auto")   # validation cost never reads them
         return float(data.evaluate(vel=vel))

@@ -418,3 +418,114 @@ def test_bf16_ctx_cast_invalidated_by_changeGSO(G):
     y2_f32 = np.asarray(arch(params, x.astype(jnp.float32)))
     assert np.abs(y2 - y1).max() > 1e-4, "bf16 forward ignored changeGSO"
     np.testing.assert_allclose(y2, y2_f32, rtol=0.1, atol=0.05)
+
+
+# -- device-resident DAGger store (round 5) -----------------------------
+
+def _flock_data(seed=21, nTrain=12):
+    return D.Flocking(nAgents=8, commRadius=6.0, repelDist=1.0,
+                      nTrain=nTrain, nValid=4, nTest=4, duration=0.5,
+                      samplingTime=0.1, rng=np.random.default_rng(seed))
+
+
+def test_device_recompute_matches_stored(tmp_path):
+    """_jnp_recompute_supervision(pos, vel) reproduces the constructor's
+    states / expert accel / normalized comm graphs (the device-store
+    train step recomputes these per batch instead of storing them)."""
+    from graph_neural_networks_tpu.data import flocking as F
+    data = _flock_data()
+    pos = jnp.asarray(data.getData("pos", "train"), jnp.float32)
+    vel = jnp.asarray(data.getData("vel", "train"), jnp.float32)
+    x, y, S = F._jnp_recompute_supervision(
+        pos, vel, data.commRadius, data.repelDist, data.accelMax)
+    np.testing.assert_allclose(np.asarray(x),
+                               data.getData("state", "train"),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y),
+                               data.getData("accel", "train"),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(S),
+                               data.getData("commGraph", "train"),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_rollout_traj_device_matches_compute_trajectory(tmp_path):
+    """rollout_traj_device's (pos, vel) equal compute_trajectory's for
+    the same policy/params (same compiled step closures, posvel-only
+    outputs)."""
+    import jax
+    data = _flock_data(seed=22)
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    params = arch.init(jax.random.PRNGKey(3), N=8, T=5)
+    ip = data.getData("initPos", "valid")
+    iv = data.getData("initVel", "valid")
+    want_p, want_v, *_ = data.compute_trajectory(
+        ip, iv, data.duration, archit=arch, params=params,
+        history_window=arch.causal_window)
+    pos, vel = data.rollout_traj_device(
+        ip, iv, data.duration, arch, params,
+        history_window=arch.causal_window)
+    np.testing.assert_allclose(np.asarray(pos), want_p, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vel), want_v, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_device_store_trainer_parity(tmp_path):
+    """deviceStore=True reproduces the host-store training trajectory
+    (no DAGger: identical batches; the only differences are f32 vs f64
+    recompute rounding)."""
+    def run(d, device):
+        data = _flock_data(seed=23)
+        arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+        model = T.Model(arch, T.losses.mse_loss,
+                        {"name": "ADAM", "lr": 5e-4}, T.TrainerFlocking,
+                        T.evaluate_flocking, name="flock",
+                        saveDir=str(d), N=8, T=5, seed=6)
+        return model.train(data, nEpochs=2, batchSize=6,
+                           validationInterval=2, deviceStore=device)
+
+    host = run(tmp_path / "host", False)
+    dev = run(tmp_path / "dev", True)
+    np.testing.assert_allclose(dev["lossTrain"], host["lossTrain"],
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(dev["costValid"], host["costValid"],
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_device_store_dagger_random_epoch(tmp_path):
+    """randomEpoch DAGger over the device store: learner trajectories
+    re-rolled on device (chunked, sentinel-padded scatter), training
+    runs end-to-end, and the store actually mutates."""
+    import jax
+    data = _flock_data(seed=24)
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    model = T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
+                    T.TrainerFlocking, T.evaluate_flocking, name="flock",
+                    saveDir=str(tmp_path), N=8, T=5, seed=6)
+    trainer = T.TrainerFlocking(model, data, nEpochs=3, batchSize=6,
+                                validationInterval=2, probExpert=0.5,
+                                DAGgerType="randomEpoch",
+                                deviceStore=True, seed=6,
+                                rolloutChunk=4)
+    out = trainer.train()
+    assert np.isfinite(out["lossTrain"]).all()
+    assert np.isfinite(out["costValid"]).all()
+    # after the last randomEpoch, some learner trajectories re-rolled
+    assert float(jnp.abs(trainer.posAll - trainer.posOrig).max()) > 0
+
+
+def test_device_store_replace_time_batch(tmp_path):
+    data = _flock_data(seed=25)
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    model = T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
+                    T.TrainerFlocking, T.evaluate_flocking, name="flock",
+                    saveDir=str(tmp_path), N=8, T=5, seed=6)
+    trainer = T.TrainerFlocking(model, data, nEpochs=2, batchSize=6,
+                                validationInterval=2, probExpert=0.9,
+                                DAGgerType="replaceTimeBatch",
+                                deviceStore=True, seed=6,
+                                rolloutChunk=4)
+    out = trainer.train()
+    assert np.isfinite(out["lossTrain"]).all()
+    assert float(jnp.abs(trainer.posAll - trainer.posOrig).max()) > 0
