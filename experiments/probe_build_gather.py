@@ -41,6 +41,7 @@ def emit(**kw):
 def round_trip():
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.zeros((8,))
+    float(f(x)[0])   # scalar d2h: force the tunnel into sync mode
     jax.block_until_ready(f(x))
     best = float("inf")
     for _ in range(20):
@@ -93,11 +94,16 @@ def main():
             *a, inv_s, H, Gx, Gy, C, builder=b, **payk))
         t_sc = timeit(lambda *a: bld("scatter")(*a)[0], *args, rt=rt)
         t_ga = timeit(lambda *a: bld("gather")(*a)[0], *args, rt=rt)
+        t_fu = timeit(lambda *a: bld("fused")(*a)[0], *args, rt=rt)
         a = jax.jit(bld("scatter"))(*args)
         b = jax.jit(bld("gather"))(*args)
+        c = jax.jit(bld("fused"))(*args)
         exact = bool(jnp.all(a[0] == b[0])) and bool(a[3]) == bool(b[3])
+        exact_fu = bool(jnp.all(a[0] == c[0]))
         emit(tag="build", P=P, scatter_ms=t_sc, gather_ms=t_ga,
-             speedup=t_sc / t_ga, exact=exact, ok=bool(a[3]))
+             fused_ms=t_fu, speedup=t_sc / t_ga,
+             speedup_fused=t_sc / t_fu, exact=exact,
+             exact_fused=exact_fu, ok=bool(a[3]))
 
         # itemization of the gather build
         Fn = 7 + P
@@ -179,8 +185,10 @@ def main():
 
     t_s, ok_s = step("scatter")
     t_g, ok_g = step("gather")
+    t_f, ok_f = step("fused")
     emit(tag="env_step_pay18", scatter_ms=t_s, gather_ms=t_g,
-         speedup=t_s / t_g, ok=(ok_s, ok_g))
+         fused_ms=t_f, speedup=t_s / t_g, speedup_fused=t_s / t_f,
+         ok=(ok_s, ok_g, ok_f))
     emit(done=True)
 
 

@@ -63,11 +63,14 @@ def main():
     emit(tag="rollout_cost", cost_full=cf, cost_end=ce,
          t_s=round(t_cost, 3), t_with_compile_s=round(t_compile, 1))
 
-    # trajectory + host evaluate (one timed pass; d2h dominates)
+    # trajectory + host evaluate (one timed pass; d2h dominates).
+    # return_graphs="auto" matches what evaluate_flocking passes — the
+    # comparison charges the trajectory path only for pos/vel/accel/
+    # states, not the ELL graph stack eval never reads.
     t0 = time.perf_counter()
     _, vel, *_ = env.compute_trajectory(ip, iv, T_s, archit=net,
                                         params=params, lam_iters=0,
-                                        **kw)
+                                        return_graphs="auto", **kw)
     cf_ref = float(env.evaluate(vel=vel))
     ce_ref = float(env.evaluate(vel=vel[:, -1:]))
     t_traj = time.perf_counter() - t0

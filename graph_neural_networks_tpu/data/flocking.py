@@ -419,24 +419,25 @@ def _grid_hash(cx, cy, Gx, Gy):
 
 
 def _grid_builder() -> str:
-    """'gather' | 'scatter' table materialization. GNT_BUILD overrides;
-    the default is currently 'scatter' EVERYWHERE, pending on-chip
-    validation of the gather build (probe_build_gather.py). The
-    intended future default is 'gather' on TPU (the scatter-free
-    build: the (7+P)·N-element fancy scatter is element-latency bound
-    at ~10-12 ns/element — 62 ms at N=262k with the 18-lane
-    fused-policy payload — while the gather build pays one
-    N-element-row gather + one H*C-row gather + a streaming Pallas
-    relayout, independent of payload width) and 'scatter' off-TPU
-    (XLA CPU gathers H*C rows slowly; the element scatter is fine
-    there)."""
+    """'fused' | 'gather' | 'scatter' table materialization
+    (GNT_BUILD overrides). Default: 'fused' on TPU — the one-kernel
+    scatter-free build (ops.gridwin.table_build), validated on chip
+    r5: bit-exact vs the element scatter and 11.4 / 13.9 ms at 262k
+    for P=0 / P=18 vs the scatter's 14.8 / 45.1 ms (the scatter is
+    element-latency bound so the fused-policy payload multiplies its
+    cost; the fused build is payload-width independent) — full fused
+    env step 99.6 -> 67.8 ms (probe_build_gather.json r5). 'gather'
+    is the r4b two-stage build (searchsorted srcmap + H*C row gather
+    + table_transpose relayout; measured slower than the scatter at
+    262k — kept as the reference formulation). 'scatter' off-TPU
+    (the Pallas build would run in interpret mode there)."""
     import os
     b = os.environ.get("GNT_BUILD", "")
-    if b in ("gather", "scatter"):
+    if b in ("gather", "scatter", "fused"):
         return b
-    # default stays 'scatter' until the gather build's table_transpose
-    # kernel is validated on real TPU (probe_build_gather.py) — flip
-    # the TPU default here once the on-chip numbers land
+    import jax
+    if jax.default_backend() == "tpu":
+        return "fused"
     return "scatter"
 
 
@@ -492,6 +493,29 @@ def _grid_build_table(px, py, vx, vy, inv_s, H, Gx, Gy, C, v=None,
     vpos = base + 6 * C
     if builder is None:
         builder = _grid_builder()
+    if builder == "fused":
+        # ONE-KERNEL scatter-free build (r5): each cell's members are a
+        # contiguous run of the SORTED feature rows, so the kernel
+        # DMAs each TH-cell window and distributes it in VMEM —
+        # no H*C slot gather (8x the occupied rows), no searchsorted
+        # srcmap (37 ms at 262k: XLA lowers it to log2(N) element-
+        # gather passes), no separate relayout. starts come from a
+        # bincount + cumsum (one element scatter-add). Bit-identical
+        # to the gather build (overflowing runs keep their first C
+        # sorted members).
+        from graph_neural_networks_tpu.ops import gridwin
+        F_n = 7 + P
+        assert F_n <= 128, \
+            "fused build packs one slot's features into 128 lanes"
+        counts = jnp.zeros(H, jnp.int32).at[hs].add(1, mode="drop")
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(counts).astype(jnp.int32)])
+        pad_rows = gridwin.table_build_pad_rows(C)
+        fs_pad = jnp.zeros((N + pad_rows, 128),
+                           px.dtype).at[:N, :F_n].set(fs)
+        cell_rows = gridwin.table_build(fs_pad, starts, C=C, F=F_n)
+        return cell_rows, cx, cy, ok, (order, vpos)
     if builder == "gather":
         # SCATTER-FREE build: hs is sorted, so each cell's members are
         # a contiguous run of fs rows; one searchsorted gives every

@@ -147,16 +147,25 @@ def _out_width(d_max: int, n_pay: int = 0) -> int:
 
 
 def _make_xpose_kernel(TH: int, C: int, F: int, W: int):
+    # Mosaic lowering constraints shaped this (probe_xpose_variants,
+    # r5): the natural 3-D formulations all fail — (TH,F,C)->(TH,F*C)
+    # and (TH,128,C)->(TH,128*C) shape casts are "unsupported", lane-
+    # assembling per-f slices via concatenate hits "result/input offset
+    # mismatch on non-concat dimension", and sublane-strided
+    # lax.slice is rejected outright. What DOES lower — and beats the
+    # XLA relayout ~1.9x (2.7 vs 5.2 ms at F=7, H=65536 on v5e) — is
+    # per-h 2-D transposes with DIRECT stores into the output ref at
+    # static offsets: ref stores tolerate the vreg offsets that vector
+    # concats cannot.
     FC = F * C
 
     def kernel(mm_ref, out_ref):
-        x = mm_ref[:]                                 # (TH*C, 128)
-        xt = jnp.swapaxes(x.reshape(TH, C, 128), 1, 2)   # (TH, 128, C)
-        out = xt[:, :F, :].reshape(TH, FC)
         if FC < W:
-            out = jnp.concatenate(
-                [out, jnp.zeros((TH, W - FC), x.dtype)], axis=1)
-        out_ref[:] = out
+            out_ref[:] = jnp.zeros((TH, W), mm_ref.dtype)
+        for h in range(TH):
+            bt = mm_ref[h * C:(h + 1) * C, :].T       # (128, C)
+            for f in range(F):
+                out_ref[h:h + 1, f * C:(f + 1) * C] = bt[f:f + 1, :]
 
     return kernel
 
@@ -182,8 +191,10 @@ def table_transpose(mm, *, C: int, F: int, tile_h: int = 0,
     assert 0 < F <= 128, F
     W = -(-F * C // 128) * 128
     if not tile_h:
-        # ~1 MB input block (x2 pipeline buffers + the transposed copy)
-        tile_h = max(1, 2 ** 20 // (C * 128 * mm.dtype.itemsize))
+        # 16 measured fastest on v5e (8/16 sweep, probe_xpose_variants
+        # r5: 2.7 ms at F=7 vs 4.3 at th=8); the kernel body unrolls
+        # th*(1 transpose + F stores), so huge tiles also bloat compile
+        tile_h = 16
     th = min(tile_h, H)
     while H % th:
         th -= 1
@@ -202,6 +213,108 @@ def table_transpose(mm, *, C: int, F: int, tile_h: int = 0,
         ),
         interpret=bool(interpret),
     )(mm)
+
+
+def _make_build_kernel(TH: int, C: int, F: int, W: int, BR: int):
+    FC = F * C
+
+    def kernel(st_ref, fs_ref, out_ref, scratch, sem):
+        # st_ref: the WHOLE (H+1,) starts array, scalar-prefetched to
+        # SMEM (dynamic scalar indexing is the point of prefetch);
+        # fs_ref: full (Npad, 128) sorted feature rows left in HBM/ANY;
+        # scratch (BR + C, 128): this tile's VMEM window
+        i = pl.program_id(0)
+        h0 = i * TH
+        base = st_ref[h0]
+        dma = pltpu.make_async_copy(
+            fs_ref.at[pl.ds(base, BR + C), :], scratch, sem)
+        dma.start()
+        dma.wait()
+        if FC < W:
+            out_ref[:] = jnp.zeros((TH, W), scratch.dtype)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+        for j in range(TH):
+            off = st_ref[h0 + j] - base
+            cnt = st_ref[h0 + j + 1] - st_ref[h0 + j]
+            blk = scratch[pl.ds(off, C), :]           # (C, 128)
+            blk = jnp.where(iota_c < cnt, blk, 0.0)
+            bt = blk.T                                # (128, C)
+            for f in range(F):
+                out_ref[j:j + 1, f * C:(f + 1) * C] = bt[f:f + 1, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("C", "F", "tile_h",
+                                             "interpret"))
+def table_build(fs, starts, *, C: int, F: int, tile_h: int = 16,
+                interpret=None):
+    """FUSED scatter-free cell-table build: (H, W) feature-blocked cell
+    rows straight from the SORTED agent feature rows, one kernel.
+
+    fs (N, 128): agents sorted by cell slot, row = agent's F features
+    (lanes F..127 zero); starts (H+1,) int32: each cell's run start in
+    fs (starts[H] = N; empty cells give zero-length runs). Output
+    out[h, f*C + c] = fs[starts[h] + c, f] for c < min(run_len, C),
+    else 0 — bit-identical to the gather build (and to the element
+    scatter whenever no cell overflows).
+
+    Why: the r4b gather build materialized ALL H*C slots by row gather
+    (~8x the occupied rows at flocking densities: 40 ms at 262k) after
+    a searchsorted srcmap (37 ms — XLA lowers it to log2(N) element-
+    gather passes), then relayouted member-major -> feature-blocked.
+    This kernel exploits that each cell's members are CONTIGUOUS in fs:
+    per TH-cell tile, ONE dma pulls the window [starts[h0],
+    starts[h0] + TH*C + C) into VMEM and the in-VMEM distribute
+    (dynamic-offset slice, count mask, (C,128) transpose, per-feature
+    stores) writes the tile — no slot gather, no relayout pass, read
+    amplification ~C/avg-occupancy instead of per-slot latency. The
+    per-h store pattern is the Mosaic-safe one from _make_xpose_kernel.
+
+    Overflowing runs (> C members) keep their first C sorted members —
+    same semantics as the gather build; callers already gate on the
+    env's ok flag. fs must be padded with >= TH*C + C zero rows past N
+    (``table_build_pad_rows`` gives the count) so the window dma never
+    reads out of bounds.
+
+    Replaces at scale: the table materialization of reference
+    computeCommunicationGraph (dataTools.py:2816-3020)."""
+    Npad, L = fs.shape
+    assert L == 128, fs.shape
+    H = starts.shape[0] - 1
+    assert 0 < F <= 128, F
+    W = -(-F * C // 128) * 128
+    th = tile_h
+    while H % th:
+        th -= 1
+    BR = th * C
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Ht = H // th
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,        # starts -> SMEM, whole array
+        grid=(Ht,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((th, W), lambda i, st: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((BR + C, 128), fs.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _make_build_kernel(th, C, F, W, BR),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, W), fs.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=bool(interpret),
+    )(starts.astype(jnp.int32), fs)
+
+
+def table_build_pad_rows(C: int, tile_h: int = 16) -> int:
+    """Zero rows required past N in ``table_build``'s fs operand."""
+    return tile_h * C + C
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -119,24 +119,35 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
         from graph_neural_networks_tpu.data.flocking import _fit_chunk
         chunk = Np if env_chunk is None else _fit_chunk(Np, env_chunk)
 
+        # d_max == 0 (grid only): EVAL-MODE step — no ELL graph is
+        # emitted, the window kernel skips its rank/selection block,
+        # and lambda comes from the WINDOW pass (v rides the table's
+        # 7th feature block; the ELL matvec would be empty) — the mesh
+        # form of the single-chip window-lambda fold (VERDICT r4 #5).
+        win_lam = env_grid is not None and d_max == 0
         if env_grid is not None:
             from graph_neural_networks_tpu.data import flocking as F
             gts, gcc, gcf = F._parse_env_grid(env_grid)
             H, Gx, Gy, Cc = F._grid_geometry(N, gts, gcc, gcf)
             inv_s = 1.0 / (gcf * comm_radius)
             gchunk = _fit_chunk(Np, 8192)
+            v_full0 = (jax.lax.all_gather(v_blk, axis, axis=1,
+                                          tiled=True) if win_lam
+                       else jnp.zeros((B, N), pos_blk.dtype))
 
-            def one_grid(pf_b, vf_b, pay_b):
-                cell_rows, cx, cy, ok_b, _ = F._grid_build_table(
-                    pf_b[0], pf_b[1], vf_b[0], vf_b[1],
-                    inv_s, H, Gx, Gy, Cc,
-                    pay=pay_b if n_pay else None)
+            def one_grid(pf_b, vf_b, vfull_b, pay_b):
+                cell_rows, cx, cy, ok_b, (order, vpos) = \
+                    F._grid_build_table(
+                        pf_b[0], pf_b[1], vf_b[0], vf_b[1],
+                        inv_s, H, Gx, Gy, Cc,
+                        v=vfull_b if win_lam else None,
+                        pay=pay_b if n_pay else None)
                 out = F._grid_rows_chunked(
                     pf_b[0], pf_b[1], vf_b[0], vf_b[1], cx, cy,
                     lo0, Np, gchunk, cell_rows, Gx, Gy, Cc, r2,
                     d_max, N, inv_s=inv_s, factor=gcf, n_pay=n_pay)
                 if n_pay:
-                    i_, v_, s_, _wv, wp_, cnt_ = out
+                    i_, v_, s_, wv_, wp_, cnt_ = out
                     if d_max > 0:
                         # fused-payload coverage: the shift sums the
                         # untruncated mask while the emitted ELL graph
@@ -145,12 +156,14 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
                         ok_b = jnp.logical_and(
                             ok_b, jnp.max(cnt_) <= d_max)
                 else:
-                    (i_, v_, s_, _wv), wp_ = out, jnp.zeros(
+                    (i_, v_, s_, wv_), wp_ = out, jnp.zeros(
                         (Np, 0), pf_b.dtype)
-                return i_, v_, s_, wp_, ok_b
+                return (i_, v_, s_, wv_, wp_, ok_b, cell_rows, order,
+                        vpos, cx, cy)
 
-            idx, val01, states, wpay, oks = jax.vmap(one_grid)(
-                pos_full, vel_full,
+            (idx, val01, states, wvb, wpay, oks, tbls, orders, vposs,
+             cxs, cys) = jax.vmap(one_grid)(
+                pos_full, vel_full, v_full0,
                 pay_full if n_pay else jnp.zeros((B, N, 0),
                                                  pos_blk.dtype))
             # every chip built the same table from the gathered swarm;
@@ -196,6 +209,48 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
             val01 = jnp.moveaxis(vals, 0, 1).reshape(B, Np, d_max)
             states = jnp.moveaxis(sts, 0, 2).reshape(B, 6, Np)
             wpay = jnp.moveaxis(wps, 0, 1).reshape(B, Np, n_pay)
+
+        if win_lam:
+            from graph_neural_networks_tpu.data import flocking as F
+            Wt = tbls.shape[-1]
+
+            def wv_pass(vb):
+                vf = jax.lax.all_gather(vb, axis, axis=1, tiled=True)
+
+                def onep(cr, order, vpos, cx_b, cy_b, pf_b, vf_b,
+                         vfull_b):
+                    tbl = cr.reshape(-1).at[vpos].set(
+                        jnp.take(vfull_b, order),
+                        mode="drop").reshape(H, Wt)
+                    return F._grid_rows_chunked(
+                        pf_b[0], pf_b[1], vf_b[0], vf_b[1], cx_b, cy_b,
+                        lo0, Np, gchunk, tbl, Gx, Gy, Cc, r2, 0, N,
+                        inv_s=inv_s, factor=gcf, wv_only=True)
+
+                return jax.vmap(onep)(tbls, orders, vposs, cxs, cys,
+                                      pos_full, vel_full, vf)
+
+            def nrm(w):
+                n2 = jax.lax.psum(jnp.sum(w ** 2, axis=1), axis)
+                return w / jnp.maximum(jnp.sqrt(n2), ZERO_TOL)[:, None]
+
+            if lam_iters == 0:
+                # zero-pass fold: Rayleigh quotient from the wv the
+                # main window pass already computed; v still advances
+                lam = (jax.lax.psum(
+                    jnp.einsum("bn,bn->b", v_blk, wvb), axis)
+                    / jnp.maximum(jax.lax.psum(
+                        jnp.sum(v_blk ** 2, axis=1), axis), ZERO_TOL))
+                vb = nrm(wvb)
+            else:
+                vb = nrm(wvb)
+                vb = jax.lax.fori_loop(
+                    0, lam_iters - 1, lambda i, v: nrm(wv_pass(v)), vb)
+                lam = jax.lax.psum(
+                    jnp.einsum("bn,bn->b", vb, wv_pass(vb)), axis)
+            lam = jnp.where(jnp.abs(lam) < ZERO_TOL, 1.0, lam)
+            return (idx, val01 / lam[:, None, None], states, vb,
+                    wpay / lam[:, None, None], ok)
 
         ell_blk = ell_lib.EllGso(idx, val01[:, None])
 
@@ -271,8 +326,18 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
                 and getattr(policy, "payload_width", 0) > 0), \
             "step_mode needs a payload-capable DB architecture (E == 1)"
 
+    # cost-mode fused rollouts never read the ELL graph (the policy's
+    # registers shift via the window payload), so the env runs
+    # EVAL-SHAPED: d_max=0 skips the kernel's rank/selection block and
+    # lambda folds into the window pass (sharded window-lambda) — the
+    # mesh mirror of the single-chip return_graphs=False path.
+    # Velocities (hence costs) are exact vs the d_max>0 run whenever
+    # d_max covered the true in-degree (the same contract).
+    d_env = (0 if (return_cost and step_mode and env_grid is not None)
+             else d_max)
+
     def env(pos, vel, v, payload=None):
-        return sharded_env_step(pos, vel, comm_radius, d_max, mesh,
+        return sharded_env_step(pos, vel, comm_radius, d_env, mesh,
                                 axis, v_prev=v, lam_iters=lam_iters,
                                 env_chunk=env_chunk, env_grid=env_grid,
                                 payload=payload)
@@ -302,7 +367,7 @@ def sharded_swarm_rollout(T: int, w: int, policy, comm_radius: float,
             return carry, jnp.mean(acc), jnp.mean(last)
         v0 = jnp.ones((B, Npad), init_pos.dtype) / jnp.sqrt(Npad)
         i0, s0, x0, v0, ok0 = sharded_env_step(
-            init_pos, init_vel, comm_radius, d_max, mesh, axis,
+            init_pos, init_vel, comm_radius, d_env, mesh, axis,
             v_prev=v0, lam_iters=max(lam_iters, 32), env_chunk=env_chunk,
             env_grid=env_grid)
         if step_mode:
