@@ -936,6 +936,65 @@ def _jnp_recompute_supervision(pos, vel, comm_radius, repel_dist,
     return x, y, S.reshape(B, T, N, N)
 
 
+def _jnp_recompute_supervision_grid(pos, vel, comm_radius, repel_dist,
+                                    accel_max, d_max: int, grid,
+                                    lam_iters: int = 1,
+                                    zero_last: bool = True):
+    """Grid-scale device recompute of DAGger supervision from (pos,
+    vel) trajectories: (states (B,T,6,N), expert accel (B,T,2,N), ELL
+    graphs (idx (B,T,N,D), val (B,T,1,N,D)), ok).
+
+    The large-swarm form of ``_jnp_recompute_supervision``: everything
+    comes from O(N) cell-list window passes (``_jnp_env_step_grid``
+    with ``expert_repel`` — the expert's collision sums ride a second
+    pass over the same table), scanning over T with the lambda
+    eigenvector CARRIED (warm-started power iteration; t=0 cold-starts
+    at 32 iterations like the rollouts). This is what makes 262k+
+    TRAINING device-resident: the store holds pos/vel only (the ELL
+    graph stack for even a handful of 262k trajectories is tens of
+    GB), and each training batch rebuilds its states/graphs/labels on
+    device in one scan. ``accel_max`` is the expert's clip — pass
+    100.0 to match ``generate_trajectories_large``'s labels (the
+    reference expert default, dataTools.py:3406); zero_last zeroes
+    accel[T-1] (reference convention)."""
+    import jax
+    import jax.numpy as jnp
+    gts, gcc, gcf = _parse_env_grid(grid)
+    B, T, _, N = pos.shape
+    D = min(d_max, N)
+    a_max_exp = accel_max
+
+    def env(pos_t, vel_t, v, iters):
+        i_t, s_t, x_t, v, rep, ok = _jnp_env_step_grid(
+            pos_t, vel_t, comm_radius, D, v, lam_iters=iters,
+            table_size=gts, cell_cap=gcc, cell_factor=gcf,
+            expert_repel=repel_dist)
+        vel_term = -(N * vel_t - jnp.sum(vel_t, axis=-1, keepdims=True))
+        a = jnp.clip(vel_term + rep, -a_max_exp, a_max_exp)
+        return i_t, s_t, x_t, a, v, ok
+
+    v0 = jnp.ones((B, N), pos.dtype) / jnp.sqrt(N)
+    i0, s0, x0, a0, v0, ok0 = env(pos[:, 0], vel[:, 0], v0,
+                                  max(lam_iters, 32))
+
+    def body(carry, pv):
+        v, ok = carry
+        i_t, s_t, x_t, a, v, ok_t = env(pv[0], pv[1], v, lam_iters)
+        return (v, jnp.logical_and(ok, ok_t)), (i_t, s_t, x_t, a)
+
+    pv = (jnp.moveaxis(pos[:, 1:], 0, 1), jnp.moveaxis(vel[:, 1:], 0, 1))
+    (v, ok), (gi, gv, xs, ys) = jax.lax.scan(body, (v0, ok0), pv)
+    swap = lambda a0, rest: jnp.concatenate(
+        [a0[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
+    x = swap(x0, xs)
+    y = swap(a0, ys)
+    gi = swap(i0, gi)
+    gv = swap(s0, gv)
+    if zero_last:
+        y = y.at[:, T - 1].set(0.0)
+    return x, y, (gi, gv[:, :, None]), ok
+
+
 def compute_differences(u: np.ndarray):
     """Pairwise differences u_i - u_j and squared distances.
 
@@ -1112,6 +1171,104 @@ class Flocking(Data):
                                                   gval[sl].copy())
             self.state[name] = state[sl]
         self.astype(np.float32)
+        return self
+
+    @classmethod
+    def large_device(cls, nAgents, commRadius, repelDist, nTrain, nValid,
+                     nTest, duration, samplingTime, ell_degree,
+                     lam_iters: int = 1, gen_batch: int = 1, rng=None,
+                     env_grid=True, **kw):
+        """DEVICE-RESIDENT large-swarm training dataset (the 262k-1M
+        regime): expert trajectories are generated on device by the
+        O(N) grid env + grid expert in EVAL SHAPE (d_max=0 — no graph
+        is ever emitted during generation) and only (pos, vel) are
+        kept, as jnp device arrays. Nothing O(T·N·D) is ever
+        materialized or pulled: even a handful of 262k trajectories'
+        ELL graph stacks are tens of GB, which is why ``Flocking.large``
+        (host numpy storage) cannot reach this scale. Pair with
+        ``TrainerFlocking(deviceStore=True, ellDegree=D)``: each
+        training batch recomputes states/graphs/expert labels on
+        device (``_jnp_recompute_supervision_grid``), DAGger re-rolls
+        run ``rollout_traj_device``, and validation cost is computed
+        on device. Replaces at scale: reference Flocking dataset +
+        DAGger storage (dataTools.py:2210-3020, training.py:716-1696).
+        """
+        import jax
+        import jax.numpy as jnp
+        self = cls.for_rollout(nAgents, commRadius, repelDist,
+                               samplingTime, rng=rng, **kw)
+        self.duration = float(duration)
+        self.nTrain, self.nValid, self.nTest = nTrain, nValid, nTest
+        self.rollout_ell_degree = min(ell_degree, nAgents)
+        self.rollout_lam_method = "power"
+        self.rollout_env_grid = True if env_grid is True else env_grid
+        gts, gcc, gcf = _parse_env_grid(self.rollout_env_grid)
+        n_samples = nTrain + nValid + nTest
+        init_pos, init_vel = self.compute_initial_positions(
+            nAgents, n_samples, commRadius, minDist=self.initMinDist,
+            geometry=self.initGeometry, xMaxInitVel=self.initVelValue,
+            yMaxInitVel=self.initVelValue)
+        dt = samplingTime
+        T = len(np.arange(0, duration, dt))
+        r = commRadius
+        a_max_exp = 100.0            # reference expert clip
+
+        def gen(pos0, vel0):
+            B, _, N = pos0.shape
+
+            def env(pos, vel, v, iters):
+                _i, _s, _x, v, rep, ok = _jnp_env_step_grid(
+                    pos, vel, r, 0, v, lam_iters=iters,
+                    table_size=gts, cell_cap=gcc, cell_factor=gcf,
+                    expert_repel=repelDist)
+                vel_term = -(N * vel
+                             - jnp.sum(vel, axis=-1, keepdims=True))
+                a = jnp.clip(vel_term + rep, -a_max_exp, a_max_exp)
+                return a, v, ok
+
+            v0 = jnp.ones((B, N), pos0.dtype) / jnp.sqrt(N)
+            a, v0, ok0 = env(pos0, vel0, v0, max(lam_iters, 32))
+
+            def step(carry, _):
+                pos, vel, a, v, ok = carry
+                vel_n = a * dt + vel
+                pos_n = a * dt * dt / 2 + vel * dt + pos
+                a_n, v, ok_n = env(pos_n, vel_n, v, lam_iters)
+                return ((pos_n, vel_n, a_n, v,
+                         jnp.logical_and(ok, ok_n)),
+                        (pos_n, vel_n))
+
+            carry = (pos0, vel0, a, v0, ok0)
+            carry, (ps, vs) = jax.lax.scan(step, carry, None,
+                                           length=T - 1)
+            swap = lambda z0, zz: jnp.concatenate(
+                [z0[:, None], jnp.moveaxis(zz, 0, 1)], axis=1)
+            return swap(pos0, ps), swap(vel0, vs), carry[-1]
+
+        gen_jit = jax.jit(gen)
+        pos_l, vel_l = [], []
+        all_ok = True
+        for lo in range(0, n_samples, gen_batch):
+            p0 = jnp.asarray(init_pos[lo:lo + gen_batch], jnp.float32)
+            w0 = jnp.asarray(init_vel[lo:lo + gen_batch], jnp.float32)
+            p, v, ok = gen_jit(p0, w0)
+            pos_l.append(p)
+            vel_l.append(v)
+            all_ok = all_ok and bool(ok)
+        pos = jnp.concatenate(pos_l, 0)
+        vel = jnp.concatenate(vel_l, 0)
+        if not all_ok:
+            import warnings
+            warnings.warn(
+                "grid overflow during large_device expert generation — "
+                "raise cell_cap/table_size", RuntimeWarning)
+        bounds = [0, nTrain, nTrain + nValid, n_samples]
+        for i, name in enumerate(("train", "valid", "test")):
+            sl = slice(bounds[i], bounds[i + 1])
+            self.initPos[name] = init_pos[sl]
+            self.initVel[name] = init_vel[sl]
+            self.pos[name] = pos[sl]       # device-resident
+            self.vel[name] = vel[sl]
         return self
 
     def generate_trajectories_large(self, init_pos, init_vel, duration,

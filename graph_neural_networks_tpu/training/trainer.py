@@ -512,10 +512,18 @@ class TrainerFlocking(Trainer):
                 "deviceStore supports no-DAGger, randomEpoch and " \
                 "replaceTimeBatch (fixedBatch rolls out per batch on " \
                 "host)"
-            assert self.ellDegree is None, \
-                "deviceStore currently recomputes dense reference-" \
-                "scale graphs in the train step (ellDegree " \
-                "unsupported); use the host store for ELL training"
+            # dense recompute at reference scale, or the O(N) grid
+            # recompute (ellDegree = the emitted graph width) when the
+            # dataset rolls on the cell-list grid (Flocking.large_device)
+            if getattr(data, "rollout_env_grid", None) is not None:
+                assert self.ellDegree is not None, \
+                    "grid deviceStore needs ellDegree (the recomputed " \
+                    "ELL graph width D)"
+            else:
+                assert self.ellDegree is None, \
+                    "deviceStore recomputes dense reference-scale " \
+                    "graphs in the train step; ellDegree requires a " \
+                    "grid dataset (Flocking.large_device)"
         super().__init__(model, data, nEpochs, batchSize, **kwargs)
         self.initPosAll = data.getData("initPos", "train")
         self.initVelAll = data.getData("initVel", "train")
@@ -615,12 +623,25 @@ class TrainerFlocking(Trainer):
         lam_method = ("power" if getattr(data, "rollout_lam_method",
                                          "eig") == "power" else "eig")
         from graph_neural_networks_tpu.data import flocking as F
+        grid = getattr(data, "rollout_env_grid", None)
 
-        def step(params, opt_state, pos, vel, aux, key):
+        def recompute(pos, vel):
+            if grid is not None:
+                from graph_neural_networks_tpu.ops import ell as ell_lib
+                # expert clip 100.0 = generate_trajectories_large's
+                # (the reference expert default), so relabeled learner
+                # samples share the originals' label convention
+                x, y, (gi, gv), _ok = F._jnp_recompute_supervision_grid(
+                    pos, vel, data.commRadius, data.repelDist, 100.0,
+                    self.ellDegree, grid)
+                return x, y, ell_lib.EllGso(gi, gv)
             x, y, S = F._jnp_recompute_supervision(
                 pos, vel, data.commRadius, data.repelDist,
                 data.accelMax, lam_method)
-            S5 = S[:, :, None]
+            return x, y, S[:, :, None]
+
+        def step(params, opt_state, pos, vel, aux, key):
+            x, y, S5 = recompute(pos, vel)
 
             def objective(p):
                 pc, xc, Sc = self._mixed(p, x, S5)

@@ -529,3 +529,59 @@ def test_device_store_replace_time_batch(tmp_path):
     out = trainer.train()
     assert np.isfinite(out["lossTrain"]).all()
     assert float(jnp.abs(trainer.posAll - trainer.posOrig).max()) > 0
+
+
+def test_grid_device_store_recompute_matches_large(tmp_path):
+    """_jnp_recompute_supervision_grid reproduces Flocking.large's
+    stored supervision (states / expert labels / ELL graphs) from pos/
+    vel alone — the 262k+ training-batch recompute, checked at small N
+    against the host-stored generation."""
+    from graph_neural_networks_tpu.data.flocking import (
+        Flocking, _jnp_recompute_supervision_grid)
+    D_ell = 16
+    data = Flocking.large(16, commRadius=6.0, repelDist=1.0, nTrain=4,
+                          nValid=2, nTest=2, duration=0.5,
+                          samplingTime=0.1, ell_degree=D_ell,
+                          rng=np.random.default_rng(31), env_grid=True)
+    pos = jnp.asarray(data.getData("pos", "train"), jnp.float32)
+    vel = jnp.asarray(data.getData("vel", "train"), jnp.float32)
+    x, y, (gi, gv), ok = _jnp_recompute_supervision_grid(
+        pos, vel, data.commRadius, data.repelDist, 100.0, D_ell,
+        True, lam_iters=8)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(x),
+                               data.getData("state", "train"),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(y),
+                               data.getData("accel", "train"),
+                               rtol=2e-3, atol=2e-3)
+    S = data.getData("commGraph", "train")
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(S.idx))
+    np.testing.assert_allclose(np.asarray(gv)[:, :, 0],
+                               np.asarray(S.val)[:, :, 0],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_grid_device_store_trainer(tmp_path):
+    """Flocking.large_device + TrainerFlocking(deviceStore=True,
+    ellDegree=D): end-to-end grid-recompute training with randomEpoch
+    DAGger — nothing O(T*N*D) stored, losses finite, store mutates."""
+    from graph_neural_networks_tpu.data.flocking import Flocking
+    data = Flocking.large_device(16, commRadius=6.0, repelDist=1.0,
+                                 nTrain=6, nValid=2, nTest=2,
+                                 duration=0.5, samplingTime=0.1,
+                                 ell_degree=12,
+                                 rng=np.random.default_rng(32))
+    arch = archt.LocalGNN_DB([6, 8], [2], True, "tanh", [2], 1)
+    model = T.Model(arch, T.losses.mse_loss, {"name": "ADAM", "lr": 5e-4},
+                    T.TrainerFlocking, T.evaluate_flocking, name="flock",
+                    saveDir=str(tmp_path), N=16, T=5, seed=6)
+    trainer = T.TrainerFlocking(model, data, nEpochs=3, batchSize=3,
+                                validationInterval=2, probExpert=0.5,
+                                DAGgerType="randomEpoch",
+                                deviceStore=True, ellDegree=12, seed=6,
+                                rolloutChunk=3)
+    out = trainer.train()
+    assert np.isfinite(out["lossTrain"]).all()
+    assert np.isfinite(out["costValid"]).all()
+    assert float(jnp.abs(trainer.posAll - trainer.posOrig).max()) > 0
