@@ -53,6 +53,18 @@ def main():
                          "generated on-device, EllGso graph storage — "
                          "O(N*deg) end-to-end, so --trainAgents can be "
                          "thousands too")
+    ap.add_argument("--deviceStore", action="store_true",
+                    help="train with Flocking.large_device + the "
+                         "device-resident trainer store (round 5): "
+                         "only (pos, vel) live anywhere, supervision "
+                         "is recomputed on device per batch, nothing "
+                         "O(T*N*D) is stored or pulled — the 262k+ "
+                         "TRAINING regime (requires the grid env)")
+    ap.add_argument("--nTrain", type=int, default=None)
+    ap.add_argument("--nEpochs", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--trainDuration", type=float, default=None,
+                    help="training-trajectory duration in seconds")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -82,6 +94,15 @@ def main():
         n_deploy = args.deployAgents
     if args.duration is not None:
         deploy_T_s = args.duration
+    if args.nTrain is not None:
+        nTrain = args.nTrain
+        nValid = nTest = max(nTrain // 4, 1)
+    if args.nEpochs is not None:
+        nEpochs = args.nEpochs
+    if args.batch is not None:
+        batch = args.batch
+    if args.trainDuration is not None:
+        duration = args.trainDuration
     env_chunk = args.envChunk
     if env_chunk is None and not args.envGrid:
         env_chunk = max(n_deploy // 8, 1)
@@ -94,9 +115,17 @@ def main():
         env_grid = True if args.cellCap is None else (None, args.cellCap)
 
     # -- 1. train (standard pipeline, or O(N*deg) end-to-end) ---------------
-    print(f"== train: {n_train_agents} agents "
-          f"({'Flocking.large' if args.largeTrain else 'standard'}) ==")
-    if args.largeTrain:
+    mode = ("Flocking.large_device" if args.deviceStore
+            else "Flocking.large" if args.largeTrain else "standard")
+    print(f"== train: {n_train_agents} agents ({mode}) ==")
+    if args.deviceStore:
+        assert env_grid, "--deviceStore requires the grid env"
+        data = Flocking.large_device(
+            n_train_agents, commRadius=2.0, repelDist=1.0,
+            nTrain=nTrain, nValid=nValid, nTest=nTest,
+            duration=duration, samplingTime=dt,
+            ell_degree=args.ellDegree, rng=rng, env_grid=env_grid)
+    elif args.largeTrain:
         data = Flocking.large(n_train_agents, commRadius=2.0,
                               repelDist=1.0, nTrain=nTrain, nValid=nValid,
                               nTest=nTest, duration=duration,
@@ -115,11 +144,44 @@ def main():
                     T.TrainerFlocking, T.evaluate_flocking,
                     name="LocalGNNxfer", saveDir=args.saveDir,
                     seed=args.seed, N=min(n_train_agents, 64), T=3)
-    model.train(data, nEpochs, batch, validationInterval=20,
-                probExpert=0.993,
-                **({"ellDegree": args.ellDegree} if args.largeTrain
-                   else {}))
-    res = model.evaluate(data)
+    t_tr0 = time.perf_counter()
+    train_kw = {}
+    if args.largeTrain or args.deviceStore:
+        train_kw["ellDegree"] = args.ellDegree
+    if args.deviceStore:
+        train_kw["deviceStore"] = True
+    train_out = model.train(data, nEpochs, batch, validationInterval=20,
+                            probExpert=0.993, **train_kw)
+    t_train = time.perf_counter() - t_tr0
+    print(f"  training wall-clock {t_train:.1f}s "
+          f"({t_train / nEpochs:.1f}s/epoch)")
+    if args.deviceStore:
+        # scalars-only evaluation: closed-loop test cost via
+        # rollout_cost vs the grid expert's cost on the same split —
+        # nothing O(T*N) pulled at any scale
+        import jax
+        vt = data.getData("vel", "test")
+
+        @jax.jit
+        def _cost(vel):
+            vbar = jnp.mean(vel, axis=3, keepdims=True)
+            d = vel - vbar
+            return jnp.mean(jnp.sum(
+                jnp.mean(jnp.sum(d * d, axis=2), axis=2), axis=1))
+
+        expert_cost = float(_cost(jnp.asarray(vt, jnp.float32)))
+        cf, ce = data.rollout_cost(
+            data.getData("initPos", "test"),
+            data.getData("initVel", "test"), duration, arch,
+            model.params, lam_iters=args.lamIters)
+        print(f"  closed-loop test cost {cf:.4f} (end {ce:.5f}) vs "
+              f"grid expert {expert_cost:.4f} "
+              f"({cf / max(expert_cost, 1e-9):.3f}x)")
+        res = {"costBestFull": cf, "costBestEnd": ce,
+               "expert": expert_cost,
+               "best_valid": float(np.min(train_out["costValid"]))}
+    else:
+        res = model.evaluate(data)
     print(f"  small-swarm closed-loop cost: {res['costBestFull']:.4f}")
 
     # -- 2. deploy big: same params, env-only construction ------------------
@@ -132,6 +194,22 @@ def main():
         n_deploy, 2, env.commRadius, minDist=env.initMinDist,
         geometry="circular", xMaxInitVel=3.0, yMaxInitVel=3.0)
     params = model.params        # trainer reloads 'Best' after training
+    if args.deviceStore:
+        # scalars-only deployment eval (the O(T*N) trajectory pull
+        # through the tunnel would dominate at this scale)
+        env.rollout_ell_degree = args.ellDegree
+        env.rollout_lam_method = "power"
+        env.rollout_env_grid = env_grid
+        t0 = time.perf_counter()
+        cf_d, ce_d = env.rollout_cost(ip, iv, deploy_T_s, arch, params,
+                                      lam_iters=args.lamIters)
+        t_roll = time.perf_counter() - t0
+        T_steps = len(np.arange(0, deploy_T_s, dt))
+        print(f"  {T_steps}-step closed loop (scalars-only): "
+              f"{t_roll:.2f}s, velocity-variance cost {cf_d:.4f} "
+              f"(end {ce_d:.5f})")
+        return {"cost_small": res["costBestFull"], "cost_big": cf_d,
+                "expert": res.get("expert")}
     policy = lambda p, xw, Sw: arch.apply(p, jnp.asarray(xw, jnp.float32),
                                           Sw)
     t0 = time.perf_counter()

@@ -141,9 +141,13 @@ def run_timing(quick=False):
     from graph_neural_networks_tpu import training as T
     from graph_neural_networks_tpu.models import architectures_time as archt
     emit(tag="devices", devices=str(jax.devices()))
+    # NOTE: randomEpoch DAGger only re-rolls from epoch 2 on, so
+    # nEpochs=1 never pays the re-roll (the d2h-bound part on the host
+    # store). host/host2 bracket it: epoch2_s = host2.wall - host.wall.
     for store, neps, lam in (("device", 3, "power"),
                              ("device_eig", 2, "eig"),
-                             ("host", 1, "eig")):
+                             ("host", 1, "eig"),
+                             ("host2", 2, "eig")):
         data = make_data(seed=0, quick=quick,
                          lam="power" if lam == "power" else "eig")
         arch = archt.LocalGNN_DB([6, 64], [3], True, "tanh", [2], 1)
@@ -160,7 +164,8 @@ def run_timing(quick=False):
                     validationInterval=20 if not quick else 3,
                     probExpert=.5,       # ~half the set re-rolls: the
                     DAGgerType="randomEpoch",  # DAGger-heavy regime
-                    deviceStore=store.startswith("device"))
+                    deviceStore=store.startswith("device"),
+                    scanDispatch="auto")
         wall = time.time() - t0
         emit(tag="timing", store=store, lam=lam, nEpochs=neps,
              wall_s=round(wall, 1), epoch_s=round(wall / neps, 1))
