@@ -218,14 +218,20 @@ def table_transpose(mm, *, C: int, F: int, tile_h: int = 0,
 def _make_build_kernel(TH: int, C: int, F: int, W: int, BR: int):
     FC = F * C
 
-    def kernel(st_ref, fs_ref, out_ref, scratch, sem):
-        # st_ref: the WHOLE (H+1,) starts array, scalar-prefetched to
-        # SMEM (dynamic scalar indexing is the point of prefetch);
-        # fs_ref: full (Npad, 128) sorted feature rows left in HBM/ANY;
+    def kernel(st_hbm, fs_ref, out_ref, st_ref, scratch, sem_s, sem):
+        # st_hbm: the (H+1,) starts array in HBM (SMEM cannot hold it
+        # whole: at the 1M-agent geometry H+1 int32 is 4 B over the
+        # chip's 1 MB SMEM — a whole-array scalar prefetch OOMs);
+        # each tile DMAs its own (TH+1)-slice into the tiny st_ref
+        # SMEM scratch, then the fs window by the fetched base.
+        # fs_ref: full (Npad, 128) sorted feature rows in HBM/ANY;
         # scratch (BR + C, 128): this tile's VMEM window
         i = pl.program_id(0)
-        h0 = i * TH
-        base = st_ref[h0]
+        dma_s = pltpu.make_async_copy(
+            st_hbm.at[pl.ds(i * TH, TH + 1)], st_ref, sem_s)
+        dma_s.start()
+        dma_s.wait()
+        base = st_ref[0]
         dma = pltpu.make_async_copy(
             fs_ref.at[pl.ds(base, BR + C), :], scratch, sem)
         dma.start()
@@ -234,8 +240,8 @@ def _make_build_kernel(TH: int, C: int, F: int, W: int, BR: int):
             out_ref[:] = jnp.zeros((TH, W), scratch.dtype)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
         for j in range(TH):
-            off = st_ref[h0 + j] - base
-            cnt = st_ref[h0 + j + 1] - st_ref[h0 + j]
+            off = st_ref[j] - base
+            cnt = st_ref[j + 1] - st_ref[j]
             blk = scratch[pl.ds(off, C), :]           # (C, 128)
             blk = jnp.where(iota_c < cnt, blk, 0.0)
             bt = blk.T                                # (128, C)
@@ -291,20 +297,20 @@ def table_build(fs, starts, *, C: int, F: int, tile_h: int = 16,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Ht = H // th
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,        # starts -> SMEM, whole array
-        grid=(Ht,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((th, W), lambda i, st: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((BR + C, 128), fs.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
     return pl.pallas_call(
         _make_build_kernel(th, C, F, W, BR),
-        grid_spec=grid_spec,
+        grid=(Ht,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((th, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W), fs.dtype),
+        scratch_shapes=[
+            pltpu.SMEM((th + 1,), jnp.int32),
+            pltpu.VMEM((BR + C, 128), fs.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -713,19 +713,20 @@ def test_grid_gather_build_matches_scatter_build():
         for kw in (dict(), dict(v=v0), dict(v=v0, pay=pay)):
             a = F._grid_build_table(px, py, vx, vy, inv_s, Hg, Gxg,
                                     Gyg, Cg, builder="scatter", **kw)
-            b = F._grid_build_table(px, py, vx, vy, inv_s, Hg, Gxg,
-                                    Gyg, Cg, builder="gather", **kw)
-            assert bool(a[3]) and bool(b[3])
-            np.testing.assert_array_equal(np.asarray(a[0]),
-                                          np.asarray(b[0]))
-            np.testing.assert_array_equal(np.asarray(a[1]),
-                                          np.asarray(b[1]))
-            np.testing.assert_array_equal(np.asarray(a[2]),
-                                          np.asarray(b[2]))
-            np.testing.assert_array_equal(np.asarray(a[4][0]),
-                                          np.asarray(b[4][0]))
-            np.testing.assert_array_equal(np.asarray(a[4][1]),
-                                          np.asarray(b[4][1]))
+            for alt in ("gather", "fused"):
+                b = F._grid_build_table(px, py, vx, vy, inv_s, Hg, Gxg,
+                                        Gyg, Cg, builder=alt, **kw)
+                assert bool(a[3]) and bool(b[3])
+                np.testing.assert_array_equal(np.asarray(a[0]),
+                                              np.asarray(b[0]))
+                np.testing.assert_array_equal(np.asarray(a[1]),
+                                              np.asarray(b[1]))
+                np.testing.assert_array_equal(np.asarray(a[2]),
+                                              np.asarray(b[2]))
+                np.testing.assert_array_equal(np.asarray(a[4][0]),
+                                              np.asarray(b[4][0]))
+                np.testing.assert_array_equal(np.asarray(a[4][1]),
+                                              np.asarray(b[4][1]))
     # end-to-end: a full grid env step under each builder
     import os
     pos = jnp.stack([px, py])[None]
@@ -738,11 +739,14 @@ def test_grid_gather_build_matches_scatter_build():
         ref = step()
         os.environ["GNT_BUILD"] = "gather"
         got = step()
+        os.environ["GNT_BUILD"] = "fused"
+        got_f = step()
     finally:
         os.environ.pop("GNT_BUILD", None)
-    assert bool(ref[-1]) and bool(got[-1])
-    for x, y in zip(ref[:-1], got[:-1]):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert bool(ref[-1]) and bool(got[-1]) and bool(got_f[-1])
+    for alt in (got, got_f):
+        for x, y in zip(ref[:-1], alt[:-1]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_grid_quad_scheme_matches_3x3():
