@@ -90,9 +90,18 @@ def sharded_env_step(pos, vel, comm_radius, d_max, mesh: Mesh,
     (chunk,N)x(N,Pw) matmul. Untruncated-mask semantics: equals the
     ELL shift whenever d_max covers the true max in-degree.
 
+    d_max=0 (grid mode only): EVAL-SHAPED step — idx/val come back
+    zero-width, the window kernel skips its rank/selection block, and
+    lambda_max comes from the SHARDED WINDOW pass (v_prev rides the
+    cell table; lam_iters=0 is the psum'd Rayleigh fold, each further
+    iteration one candidate-window wv pass over the re-scattered
+    eigenvector) instead of the ELL matvec (which would be empty).
+    The mesh mirror of the single-chip return_graphs=False path.
+
     Returns (idx, val_norm, states, v[, shifted_payload], ok); ``ok``
-    is False iff some cell overflowed cell_cap this step (grid mode;
-    all-pairs always True) — the same exactness contract as the
+    is False iff some cell overflowed cell_cap this step — or, with a
+    payload and d_max > 0, iff some in-degree exceeded d_max (grid
+    mode; all-pairs always True) — the same exactness contract as the
     single-chip step."""
     r2 = comm_radius ** 2
     n_pay = 0 if payload is None else int(payload.shape[-1])
