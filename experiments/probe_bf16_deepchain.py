@@ -60,7 +60,11 @@ def main():
         sb = jnp.asarray(s_band, dt)
         x = jnp.asarray(rng.random((R, N)), dt)
         flops = 2 * R * nb * (2 * w + 1) * bs * bs
-        for depth in ((2,) if smoke else (32, 128, 512)):
+        # depths must keep the chain long vs the tunnel RT (~24 ms):
+        # at depth 512 a bf16 chain is ~13 ms — RT-subtraction noise
+        # still ~10% — so go deeper; the first run's 32/128-deep rows
+        # were pure RT noise (one even "beat" the roofline)
+        for depth in ((2,) if smoke else (512, 2048, 4096)):
             @jax.jit
             def run(x):
                 return jax.lax.fori_loop(
