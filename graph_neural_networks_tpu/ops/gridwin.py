@@ -278,10 +278,16 @@ def table_build(fs, starts, *, C: int, F: int, tile_h: int = 16,
     per-h store pattern is the Mosaic-safe one from _make_xpose_kernel.
 
     Overflowing runs (> C members) keep their first C sorted members —
-    same semantics as the gather build; callers already gate on the
-    env's ok flag. fs must be padded with >= TH*C + C zero rows past N
-    (``table_build_pad_rows`` gives the count) so the window dma never
-    reads out of bounds.
+    same semantics as the gather build. NOTE: if overflow is so large
+    that a LATER cell's run start falls outside the tile's fixed
+    (TH*C + C)-row window, that cell's dynamic slice clamps and reads
+    wrong (in-bounds) rows — the table is then garbage beyond the
+    first-C truncation. This is within the existing contract (the
+    env's ok flag is False on ANY overflow and callers must discard),
+    but unlike scatter/gather the fused build's overflow output is not
+    bit-reproducible against them. fs must be padded with >= TH*C + C
+    zero rows past N (``table_build_pad_rows`` gives the count) so the
+    window dma never reads out of bounds.
 
     Replaces at scale: the table materialization of reference
     computeCommunicationGraph (dataTools.py:2816-3020)."""
