@@ -53,7 +53,11 @@ def main():
     if args.nAgents is not None:
         nAgents = args.nAgents
     print(f"== Flocking: {nAgents} agents, duration {duration}s ==")
-    data = D.Flocking(nAgents=nAgents, commRadius=6.0, repelDist=1.0,
+    # commRadius 2.0 = the reference config (flockingGNN.py:126);
+    # earlier rounds ran this driver at 6.0 — a denser graph and a
+    # much easier task (expert cost ~0.17 vs ~1.49) — so pre-r5 driver
+    # numbers are not comparable to the diag_flocking sweeps
+    data = D.Flocking(nAgents=nAgents, commRadius=2.0, repelDist=1.0,
                       nTrain=nTrain, nValid=nValid, nTest=nTest,
                       duration=duration, samplingTime=dt, rng=rng)
     if args.ellDegree is not None:
