@@ -535,7 +535,11 @@ class TrainerFlocking(Trainer):
                                       jnp.float32)
             # jnp arrays are immutable: Orig handles are free snapshots
             self.posOrig, self.velOrig = self.posAll, self.velAll
-            self.rolloutChunk = int(kwargs.get("rolloutChunk", 16))
+            # re-roll chunk: fixed compiled shape; never above nTrain
+            # (a 262k dataset of 4 trajectories must not pad a single
+            # learner re-roll up to 16 rollouts)
+            self.rolloutChunk = int(kwargs.get(
+                "rolloutChunk", max(1, min(16, data.nTrain))))
             return
         # training trajectories (kept in numpy; DAGger mutates them)
         self.xAll, self.yAll = data.getSamples("train")
