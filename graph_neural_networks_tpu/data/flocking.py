@@ -956,7 +956,11 @@ def _jnp_recompute_supervision_grid(pos, vel, comm_radius, repel_dist,
     device in one scan. ``accel_max`` is the expert's clip — pass
     100.0 to match ``generate_trajectories_large``'s labels (the
     reference expert default, dataTools.py:3406); zero_last zeroes
-    accel[T-1] (reference convention)."""
+    accel[T-1] (reference convention). ``ok`` covers cell overflow;
+    d_max-coverage carries the usual grid contract — pick d_max >=
+    the swarm's max in-degree or the EMITTED graphs are top-d_max
+    truncations of the dynamics' untruncated neighbor sums (the
+    rollouts' ok flag checks this where a payload rides the table)."""
     import jax
     import jax.numpy as jnp
     gts, gcc, gcf = _parse_env_grid(grid)
