@@ -96,6 +96,8 @@ CONFIGS = {
     "TW":      ([6, 64], [3], 60, .993, "randomEpoch", "tw", 5e-4),
     "TW_RT":   ([6, 64], [3], 60, .993, "replaceTimeBatch", "tw", 5e-4),
     "B_long":  ([6, 64], [3], 120, .993, "randomEpoch", "mse", 5e-4),
+    "TW_L2":   ([6, 32, 32], [3, 3], 60, .993, "randomEpoch", "tw",
+                5e-4),
 }
 
 
