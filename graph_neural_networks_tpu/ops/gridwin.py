@@ -218,20 +218,29 @@ def table_transpose(mm, *, C: int, F: int, tile_h: int = 0,
 def _make_build_kernel(TH: int, C: int, F: int, W: int, BR: int):
     FC = F * C
 
+    SALIGN = 1024   # 1-D int32 HBM refs tile at 1024: DMA slice
+                    # offsets/lengths must be tile-aligned (Mosaic:
+                    # "Slice shape along dimension 0 must be aligned
+                    # to tiling (1024)")
+
     def kernel(st_hbm, fs_ref, out_ref, st_ref, scratch, sem_s, sem):
-        # st_hbm: the (H+1,) starts array in HBM (SMEM cannot hold it
-        # whole: at the 1M-agent geometry H+1 int32 is 4 B over the
-        # chip's 1 MB SMEM — a whole-array scalar prefetch OOMs);
-        # each tile DMAs its own (TH+1)-slice into the tiny st_ref
-        # SMEM scratch, then the fs window by the fetched base.
+        # st_hbm: the (H+1 padded) starts array in HBM (SMEM cannot
+        # hold it whole: at the 1M-agent geometry H+1 int32 is 4 B
+        # over the chip's 1 MB SMEM — a whole-array scalar prefetch
+        # OOMs); each tile DMAs the ALIGNED 2*SALIGN-entry window
+        # covering its (TH+1) starts into the 8 KB st_ref SMEM
+        # scratch, then the fs window by the fetched base.
         # fs_ref: full (Npad, 128) sorted feature rows in HBM/ANY;
         # scratch (BR + C, 128): this tile's VMEM window
         i = pl.program_id(0)
+        h0 = i * TH
+        wbase = h0 // SALIGN * SALIGN
         dma_s = pltpu.make_async_copy(
-            st_hbm.at[pl.ds(i * TH, TH + 1)], st_ref, sem_s)
+            st_hbm.at[pl.ds(wbase, 2 * SALIGN)], st_ref, sem_s)
         dma_s.start()
         dma_s.wait()
-        base = st_ref[0]
+        o0 = h0 - wbase                  # < SALIGN; +TH fits 2*SALIGN
+        base = st_ref[o0]
         dma = pltpu.make_async_copy(
             fs_ref.at[pl.ds(base, BR + C), :], scratch, sem)
         dma.start()
@@ -240,8 +249,8 @@ def _make_build_kernel(TH: int, C: int, F: int, W: int, BR: int):
             out_ref[:] = jnp.zeros((TH, W), scratch.dtype)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
         for j in range(TH):
-            off = st_ref[j] - base
-            cnt = st_ref[j + 1] - st_ref[j]
+            off = st_ref[o0 + j] - base
+            cnt = st_ref[o0 + j + 1] - st_ref[o0 + j]
             blk = scratch[pl.ds(off, C), :]           # (C, 128)
             blk = jnp.where(iota_c < cnt, blk, 0.0)
             bt = blk.T                                # (128, C)
@@ -303,6 +312,10 @@ def table_build(fs, starts, *, C: int, F: int, tile_h: int = 16,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Ht = H // th
+    # pad starts so every tile's aligned 2048-entry DMA window is in
+    # bounds (values past H hold starts[H] = N; harmless)
+    starts_pad = jnp.pad(starts.astype(jnp.int32), (0, 2 * 1024),
+                         mode="edge")
     return pl.pallas_call(
         _make_build_kernel(th, C, F, W, BR),
         grid=(Ht,),
@@ -312,7 +325,7 @@ def table_build(fs, starts, *, C: int, F: int, tile_h: int = 16,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W), fs.dtype),
         scratch_shapes=[
-            pltpu.SMEM((th + 1,), jnp.int32),
+            pltpu.SMEM((2 * 1024,), jnp.int32),
             pltpu.VMEM((BR + C, 128), fs.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -321,7 +334,7 @@ def table_build(fs, starts, *, C: int, F: int, tile_h: int = 16,
             dimension_semantics=("arbitrary",),
         ),
         interpret=bool(interpret),
-    )(starts.astype(jnp.int32), fs)
+    )(starts_pad, fs)
 
 
 def table_build_pad_rows(C: int, tile_h: int = 16) -> int:
