@@ -33,8 +33,11 @@ BLOCKED dispatch round-trip varies (measured 1.5 ms in r1-r2, ~25 ms
 in r3/r4); every timing queues `iters` dispatches and blocks once —
 but that still leaves RT/iters per op, which at 24 ms RT inflated
 r2/r3 band numbers by up to ~15 us/shift (the "bf16 at 60% of peak"
-gap was mostly this: deep 512-shift chains measure bf16 at 25.7
-us/shift = 3,111 G edges/s, ~the compute floor). r4: _bench,
+gap was mostly this). r5 artifact probe_bf16_deepchain.json: on
+RT-proof 2048/4096-deep chains bf16 = 28.0 us/shift = 2.86 T edges/s
+(~48% of the bf16 MXU peak — HBM-bound, as documented) and f32 =
+103.5 us (82-84%); 512-deep chains are themselves shorter than the
+RT and read low. r4: _bench,
 measure_peak and measure_hbm_bw all measure the RT with a null
 dispatch and subtract it.
 
