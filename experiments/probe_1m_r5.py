@@ -53,7 +53,12 @@ def main():
     net = archt.LocalGNN_DB([6, 32], [4], True, "tanh", [2], 1)
     params = net.init(jax.random.PRNGKey(1), N=64, T=4)
 
-    for return_graphs in (True, False):
+    # eval-shaped only: the train-shaped (return_graphs=True) 1M
+    # number comes from probe_fused_policy.json (282.4 ms/step) — a
+    # 13-deep train-shaped chain OOMs HBM here (23.3 GB: the stacked
+    # (T, N, 32) ELL graph trajectory dominates), which is itself the
+    # point of the eval shape
+    for return_graphs in ((False,) if not smoke else (True, False)):
         init_fn, step_fn = env._chunked_pieces(
             net.causal_window, net, D, None, 0, step_mode=True,
             env_grid=True, return_graphs=return_graphs)
