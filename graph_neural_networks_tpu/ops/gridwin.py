@@ -316,25 +316,34 @@ def table_build(fs, starts, *, C: int, F: int, tile_h: int = 16,
     # bounds (values past H hold starts[H] = N; harmless)
     starts_pad = jnp.pad(starts.astype(jnp.int32), (0, 2 * 1024),
                          mode="edge")
-    return pl.pallas_call(
-        _make_build_kernel(th, C, F, W, BR),
-        grid=(Ht,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((th, W), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, W), fs.dtype),
-        scratch_shapes=[
-            pltpu.SMEM((2 * 1024,), jnp.int32),
-            pltpu.VMEM((BR + C, 128), fs.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=bool(interpret),
-    )(starts_pad, fs)
+
+    # sequential_vmap: callers batch the env step with jax.vmap, but
+    # Pallas cannot batch memory-space-ANY operands (the vmap rule
+    # would need non-trivial block specs there) — lower any batching
+    # to a per-element lax.map of full kernel launches instead
+    @jax.custom_batching.sequential_vmap
+    def _call(starts_pad, fs):
+        return pl.pallas_call(
+            _make_build_kernel(th, C, F, W, BR),
+            grid=(Ht,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((th, W), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W), fs.dtype),
+            scratch_shapes=[
+                pltpu.SMEM((2 * 1024,), jnp.int32),
+                pltpu.VMEM((BR + C, 128), fs.dtype),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=bool(interpret),
+        )(starts_pad, fs)
+
+    return _call(starts_pad, fs)
 
 
 def table_build_pad_rows(C: int, tile_h: int = 16) -> int:
