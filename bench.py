@@ -327,13 +327,18 @@ def bench_flagship(N=262144, D=32, t_short=5, t_long=25):
                 return sum(jnp.sum(jnp.asarray(l, jnp.float32))
                            for l in jax.tree_util.tree_leaves(
                                (carry, ys)))
-            r = f(params, pos, vel)
-            jax.block_until_ready(r)
+            # barrier with a REAL scalar d2h, not block_until_ready:
+            # some tunnel sessions stay fire-and-forget under
+            # block_until_ready even after a prior d2h (observed
+            # r5: both chains "completed" in ~us and the marginal
+            # step read -0). The pull adds one RT per measurement,
+            # which cancels in the T_long - T_short marginal.
+            float(f(params, pos, vel))
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 r = f(params, pos, vel)
-                jax.block_until_ready(r)
+                float(r)
                 best = min(best, time.perf_counter() - t0)
             return best * 1e3
         return (chain(t_long) - chain(t_short)) / (t_long - t_short)
