@@ -159,17 +159,11 @@ def main():
         # scalars-only evaluation: closed-loop test cost via
         # rollout_cost vs the grid expert's cost on the same split —
         # nothing O(T*N) pulled at any scale
-        import jax
+        from graph_neural_networks_tpu.data.flocking import (
+            evaluate_cost_device)
         vt = data.getData("vel", "test")
-
-        @jax.jit
-        def _cost(vel):
-            vbar = jnp.mean(vel, axis=3, keepdims=True)
-            d = vel - vbar
-            return jnp.mean(jnp.sum(
-                jnp.mean(jnp.sum(d * d, axis=2), axis=2), axis=1))
-
-        expert_cost = float(_cost(jnp.asarray(vt, jnp.float32)))
+        expert_cost = float(evaluate_cost_device(
+            jnp.asarray(vt, jnp.float32)))
         cf, ce = data.rollout_cost(
             data.getData("initPos", "test"),
             data.getData("initVel", "test"), duration, arch,

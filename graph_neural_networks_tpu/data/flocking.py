@@ -999,6 +999,32 @@ def _jnp_recompute_supervision_grid(pos, vel, comm_radius, repel_dist,
     return x, y, (gi, gv[:, :, None]), ok
 
 
+_COST_JIT = None
+
+
+def evaluate_cost_device(vel):
+    """``Flocking.evaluate``'s velocity-variance cost as one jitted
+    device reduction: vel (B,T,2,N) -> scalar (mean over samples of
+    the summed per-step mean-squared deviation from the swarm-average
+    velocity). The single definition behind every device-side cost
+    (deviceStore validation, the largeswarm driver's scalars-only
+    eval) so the formula cannot drift from ``evaluate``."""
+    global _COST_JIT
+    if _COST_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _cost(vel):
+            vbar = jnp.mean(vel, axis=3, keepdims=True)
+            d = vel - vbar
+            c_t = jnp.mean(jnp.sum(d * d, axis=2), axis=2)  # (B, T)
+            return jnp.mean(jnp.sum(c_t, axis=1))
+
+        _COST_JIT = _cost
+    return _COST_JIT(vel)
+
+
 def compute_differences(u: np.ndarray):
     """Pairwise differences u_i - u_j and squared distances.
 
@@ -1206,6 +1232,13 @@ class Flocking(Data):
         self.rollout_ell_degree = min(ell_degree, nAgents)
         self.rollout_lam_method = "power"
         self.rollout_env_grid = True if env_grid is True else env_grid
+        # one lambda-iteration setting for the WHOLE device pipeline:
+        # generation (here), DAGger re-rolls and validation
+        # (rollout_traj_device resolves it), and the train-step
+        # supervision recompute (TrainerFlocking._build_step_device) —
+        # a mismatch would train on graphs normalized differently from
+        # the rollouts that produced the trajectories
+        self.rollout_lam_iters = lam_iters
         gts, gcc, gcf = _parse_env_grid(self.rollout_env_grid)
         n_samples = nTrain + nValid + nTest
         init_pos, init_vel = self.compute_initial_positions(
@@ -1253,11 +1286,20 @@ class Flocking(Data):
         pos_l, vel_l = [], []
         all_ok = True
         for lo in range(0, n_samples, gen_batch):
-            p0 = jnp.asarray(init_pos[lo:lo + gen_batch], jnp.float32)
-            w0 = jnp.asarray(init_vel[lo:lo + gen_batch], jnp.float32)
-            p, v, ok = gen_jit(p0, w0)
-            pos_l.append(p)
-            vel_l.append(v)
+            ip_c = init_pos[lo:lo + gen_batch]
+            iv_c = init_vel[lo:lo + gen_batch]
+            keep = ip_c.shape[0]
+            if keep < gen_batch:
+                # pad the ragged last chunk by repetition: one
+                # compiled shape for every chunk (a second remote
+                # compile of the T-step scan costs minutes)
+                pad = gen_batch - keep
+                ip_c = np.concatenate([ip_c, ip_c[:1].repeat(pad, 0)])
+                iv_c = np.concatenate([iv_c, iv_c[:1].repeat(pad, 0)])
+            p, v, ok = gen_jit(jnp.asarray(ip_c, jnp.float32),
+                               jnp.asarray(iv_c, jnp.float32))
+            pos_l.append(p[:keep])
+            vel_l.append(v[:keep])
             all_ok = all_ok and bool(ok)
         pos = jnp.concatenate(pos_l, 0)
         vel = jnp.concatenate(vel_l, 0)
@@ -1592,6 +1634,21 @@ class Flocking(Data):
         r = self.commRadius
         a_max = self.accelMax
 
+        def _pv_step(step):
+            # traj_only adapter: keep the carry, emit only (pos, vel)
+            def wrapped(c, u):
+                c2, ys = step(c, u)
+                return c2, ys[:2]
+            return wrapped
+
+        def _pv_assemble(init_pos, init_vel, pos, vel):
+            import jax.numpy as jnp
+            swap = lambda z: jnp.moveaxis(z, 0, 1)
+            return (jnp.concatenate([init_pos[:, None], swap(pos)],
+                                    axis=1),
+                    jnp.concatenate([init_vel[:, None], swap(vel)],
+                                    axis=1))
+
         if env_chunk is not None or env_grid is not None:
             assert ell_degree is not None, \
                 "env_chunk/env_grid require ell_degree (the O(N*deg) " \
@@ -1605,18 +1662,10 @@ class Flocking(Data):
                 carry, (x0, i0, s0) = init_fn(init_pos, init_vel)
 
                 if traj_only:
-                    def step_t(carry, _):
-                        carry, ys = step_fn(params, carry)
-                        return carry, ys[:2]          # pos, vel only
-
                     carry, (pos, vel) = jax.lax.scan(
-                        step_t, carry, None, length=T - 1)
-                    swap = lambda z: jnp.moveaxis(z, 0, 1)
-                    pos = jnp.concatenate(
-                        [init_pos[:, None], swap(pos)], axis=1)
-                    vel = jnp.concatenate(
-                        [init_vel[:, None], swap(vel)], axis=1)
-                    out = (pos, vel)
+                        _pv_step(lambda c, u: step_fn(params, c)),
+                        carry, None, length=T - 1)
+                    out = _pv_assemble(init_pos, init_vel, pos, vel)
                     if env_grid is not None:
                         out = out + (carry[-1],)
                     return out
@@ -1675,11 +1724,9 @@ class Flocking(Data):
                 carry = (init_pos, init_vel, x0, to_out(S0),
                          policy.rollout_init(params, B, N))
                 if traj_only:
-                    st = lambda c, u: (lambda o: (o[0], o[1][:2]))(
-                        step(c, u))
-                    _, (pos, vel) = jax.lax.scan(st, carry, None,
-                                                 length=T - 1)
-                    return _assemble_pv(init_pos, init_vel, pos, vel)
+                    _, (pos, vel) = jax.lax.scan(_pv_step(step), carry,
+                                                 None, length=T - 1)
+                    return _pv_assemble(init_pos, init_vel, pos, vel)
                 _, (pos, vel, acc, xs, Ss) = jax.lax.scan(
                     step, carry, None, length=T - 1)
                 return _assemble(init_pos, init_vel, x0, S0, pos, vel,
@@ -1720,19 +1767,13 @@ class Flocking(Data):
 
             carry = (init_pos, init_vel, xw, Sw)
             if traj_only:
-                st = lambda c, u: (lambda o: (o[0], o[1][:2]))(step(c, u))
-                _, (pos, vel) = jax.lax.scan(st, carry, None,
-                                             length=T - 1)
-                return _assemble_pv(init_pos, init_vel, pos, vel)
+                _, (pos, vel) = jax.lax.scan(_pv_step(step), carry,
+                                             None, length=T - 1)
+                return _pv_assemble(init_pos, init_vel, pos, vel)
             _, (pos, vel, acc, xs, Ss) = jax.lax.scan(step, carry, None,
                                                       length=T - 1)
             return _assemble(init_pos, init_vel, x0, S0, pos, vel, acc,
                              xs, Ss)
-
-        def _assemble_pv(init_pos, init_vel, pos, vel):
-            swap = lambda z: jnp.moveaxis(z, 0, 1)
-            return (jnp.concatenate([init_pos[:, None], swap(pos)], axis=1),
-                    jnp.concatenate([init_vel[:, None], swap(vel)], axis=1))
 
         def _assemble(init_pos, init_vel, x0, S0, pos, vel, acc, xs, Ss):
             # prepend t=0; accel convention matches the host loop: a from
@@ -2213,7 +2254,7 @@ class Flocking(Data):
     def rollout_traj_device(self, initPos, initVel, duration, archit,
                             params, history_window=None,
                             ell_degree=None, lam_method: str = "eig",
-                            env_chunk=None, lam_iters: int = 8,
+                            env_chunk=None, lam_iters=None,
                             step_mode=None, env_grid=None,
                             env_grid_strict: bool = False):
         """Compiled closed-loop rollout returning DEVICE (pos, vel)
@@ -2241,6 +2282,10 @@ class Flocking(Data):
             env_chunk = getattr(self, "rollout_env_chunk", None)
         if env_grid is None:
             env_grid = getattr(self, "rollout_env_grid", None)
+        if lam_iters is None:
+            # one lambda setting across generation / re-rolls /
+            # recompute (Flocking.large_device stores it)
+            lam_iters = getattr(self, "rollout_lam_iters", 8)
         import jax.numpy as jnp
         T = len(np.arange(0, duration, self.samplingTime))
         w = int(history_window) if history_window is not None else 0

@@ -502,8 +502,14 @@ class TrainerFlocking(Trainer):
         # Supports no-DAGger, randomEpoch, and replaceTimeBatch;
         # fixedBatch concatenates fresh rollouts per batch and stays on
         # the host path. Training math matches the host store to f32
-        # rounding (test_training.py parity); validation cost is
-        # computed on device from the vel trajectory alone.
+        # rounding (test_training.py parity) with ONE documented
+        # divergence: expert labels are uniformly zeroed at t=T-1
+        # (the reference generation convention — a T-1 accel never
+        # drives a transition), whereas the host path's DAGger
+        # RELABELED samples keep a nonzero T-1 label (an internal
+        # inconsistency of the reference pipeline the device recompute
+        # does not reproduce). Validation cost is computed on device
+        # from the vel trajectory alone.
         self.deviceStore = bool(kwargs.get("deviceStore", False))
         if self.deviceStore:
             assert (self.probExpert is None
@@ -529,6 +535,14 @@ class TrainerFlocking(Trainer):
         self.initVelAll = data.getData("initVel", "train")
         if self.deviceStore:
             import jax.numpy as jnp
+            # the device rollouts need the compiled path: a finite
+            # causal window or the step interface — fail at
+            # construction, not at the first mid-training re-roll
+            assert (hasattr(model.archit, "rollout_step")
+                    or getattr(model.archit, "causal_window", None)
+                    is not None), \
+                "deviceStore needs a compiled-rollout-capable " \
+                "architecture (rollout_step or a finite causal_window)"
             self.posAll = jnp.asarray(data.getData("pos", "train"),
                                       jnp.float32)
             self.velAll = jnp.asarray(data.getData("vel", "train"),
@@ -540,6 +554,9 @@ class TrainerFlocking(Trainer):
             # learner re-roll up to 16 rollouts)
             self.rolloutChunk = int(kwargs.get(
                 "rolloutChunk", max(1, min(16, data.nTrain))))
+            if (getattr(data, "rollout_env_grid", None) is not None
+                    and kwargs.get("coverageCheck", True)):
+                self._grid_coverage_check()
             return
         # training trajectories (kept in numpy; DAGger mutates them)
         self.xAll, self.yAll = data.getSamples("train")
@@ -612,6 +629,43 @@ class TrainerFlocking(Trainer):
 
         self._finalize_step(step)
 
+    def _grid_coverage_check(self):
+        """One-time d_max-coverage + cell-overflow check of the
+        ORIGINAL device store. Flocking.large_device generates
+        eval-shaped (d_max=0 — nothing to truncate, so nothing could
+        be checked), and the in-step supervision recompute runs
+        inside jit where it cannot warn: if any agent's true in-degree
+        exceeds ellDegree, training graphs would be silent top-D
+        truncations of the untruncated dynamics. This checks every
+        stored trajectory once at construction (learner re-rolls are
+        covered separately by rollout_traj_device's own flag);
+        coverageCheck=False skips it."""
+        import jax
+        import jax.numpy as jnp
+        from graph_neural_networks_tpu.data import flocking as F
+        data = self.data
+        lam = getattr(data, "rollout_lam_iters", 1)
+
+        @jax.jit
+        def ok_of(pos, vel):
+            return F._jnp_recompute_supervision_grid(
+                pos, vel, data.commRadius, data.repelDist, 100.0,
+                self.ellDegree, data.rollout_env_grid,
+                lam_iters=lam)[3]
+
+        ok = True
+        for i in range(self.posAll.shape[0]):   # B=1: one compile
+            ok = ok and bool(ok_of(self.posAll[i:i + 1],
+                                   self.velAll[i:i + 1]))
+        if not ok:
+            import warnings
+            warnings.warn(
+                "grid deviceStore: a stored training trajectory "
+                "overflows cell_cap or has in-degree > ellDegree — "
+                "recomputed training graphs will be truncated "
+                "inconsistently with the dynamics; raise ellDegree / "
+                "cell_cap", RuntimeWarning)
+
     def _build_step_device(self):
         """Train step over the device-resident store: operands are the
         batch's (pos, vel) trajectories; states / graphs / expert
@@ -635,9 +689,14 @@ class TrainerFlocking(Trainer):
                 # expert clip 100.0 = generate_trajectories_large's
                 # (the reference expert default), so relabeled learner
                 # samples share the originals' label convention
+                # ok is checked once over the store at construction
+                # (_grid_coverage_check) and per re-roll by
+                # rollout_traj_device — inside jit it cannot warn.
+                # lam_iters follows the dataset's pipeline-wide value.
                 x, y, (gi, gv), _ok = F._jnp_recompute_supervision_grid(
                     pos, vel, data.commRadius, data.repelDist, 100.0,
-                    self.ellDegree, grid)
+                    self.ellDegree, grid,
+                    lam_iters=getattr(data, "rollout_lam_iters", 1))
                 return x, y, ell_lib.EllGso(gi, gv)
             x, y, S = F._jnp_recompute_supervision(
                 pos, vel, data.commRadius, data.repelDist,
@@ -918,18 +977,9 @@ class TrainerFlocking(Trainer):
             _, vel = data.rollout_traj_device(
                 init_pos, init_vel, data.duration,
                 self._policy_archit(), params, history_window=window)
-            if not hasattr(self, "_jnp_cost"):
-                import jax
-
-                @jax.jit
-                def _cost(vel):
-                    vbar = jnp.mean(vel, axis=3, keepdims=True)
-                    d = vel - vbar
-                    c_t = jnp.mean(jnp.sum(d * d, axis=2), axis=2)
-                    return jnp.mean(jnp.sum(c_t, axis=1))
-
-                self._jnp_cost = _cost
-            return float(self._jnp_cost(vel))
+            from graph_neural_networks_tpu.data.flocking import (
+                evaluate_cost_device)
+            return float(evaluate_cost_device(vel))
         _, vel, _, _, _ = data.compute_trajectory(
             init_pos, init_vel, data.duration, archit=self._policy(),
             params=params,
