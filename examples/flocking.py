@@ -31,6 +31,12 @@ def main():
                          "O(N*deg) ELL layout (large swarms); also "
                          "switches rollout graph normalization to power "
                          "iteration")
+    ap.add_argument("--deviceStore", action="store_true",
+                    help="device-resident trajectory store (round 5): "
+                         "DAGger re-rolls and supervision recompute "
+                         "stay on device — ~26x faster DAGger epochs "
+                         "on the TPU tunnel; also switches rollout "
+                         "lambda to power iteration for speed")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -63,6 +69,8 @@ def main():
     if args.ellDegree is not None:
         data.rollout_ell_degree = args.ellDegree
         data.rollout_lam_method = "power"
+    if args.deviceStore:
+        data.rollout_lam_method = "power"
     T_steps = data.getData("state", "train").shape[1]
     expert_cost = data.evaluate(vel=data.getData("vel", "test"))
     print(f"expert (centralized) cost: {expert_cost:.4f}")
@@ -90,7 +98,8 @@ def main():
         print(f"{name}: {model.nParameters} params; training (DAGger)...")
         model.train(data, nEpochs, batch, validationInterval=20,
                     probExpert=0.993, DAGgerType="randomEpoch",
-                    ellDegree=args.ellDegree)
+                    ellDegree=args.ellDegree,
+                    deviceStore=args.deviceStore)
         res = model.evaluate(data)
         results[name] = res
         print(f"  closed-loop cost: best {res['costBestFull']:.4f} "

@@ -101,7 +101,7 @@ CONFIGS = {
 }
 
 
-def run_config(name, seed=0, quick=False):
+def run_config(name, seed=0, quick=False, host=False):
     import jax
     from graph_neural_networks_tpu import training as T
     from graph_neural_networks_tpu.models import architectures_time as archt
@@ -125,10 +125,11 @@ def run_config(name, seed=0, quick=False):
     out = model.train(data, nep, 20 if not quick else 8,
                       validationInterval=20 if not quick else 3,
                       probExpert=pe, DAGgerType=dtype_,
-                      deviceStore=True)
+                      deviceStore=not host)
     wall = time.time() - t0
     res = model.evaluate(data)
-    emit(tag="config", name=name, seed=seed, quick=quick,
+    emit(tag="config", name=name + ("_host" if host else ""),
+         seed=seed, quick=quick,
          F=F, K=K, nEpochs=nep, probExpert=pe, DAGgerType=dtype_,
          loss=lossname, lr=lr, expert_cost=expert_cost,
          cost_best_full=float(res["costBestFull"]),
@@ -184,6 +185,11 @@ def main():
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hostStore", action="store_true",
+                    help="run the config on the HOST trajectory store "
+                         "(deviceStore=False): isolates the r5 "
+                         "stack's quality effect from the storage "
+                         "path at identical protocol")
     args = ap.parse_args()
     if args.list:
         print(" ".join(CONFIGS))
@@ -195,7 +201,8 @@ def main():
         run_timing(quick=args.quick)
         return
     assert args.config in CONFIGS, (args.config, list(CONFIGS))
-    run_config(args.config, seed=args.seed, quick=args.quick)
+    run_config(args.config, seed=args.seed, quick=args.quick,
+               host=args.hostStore)
 
 
 if __name__ == "__main__":
