@@ -98,6 +98,8 @@ CONFIGS = {
     "B_long":  ([6, 64], [3], 120, .993, "randomEpoch", "mse", 5e-4),
     "TW_L2":   ([6, 32, 32], [3, 3], 60, .993, "randomEpoch", "tw",
                 5e-4),
+    "TW_L2_long": ([6, 32, 32], [3, 3], 120, .993, "randomEpoch",
+                   "tw", 5e-4),
 }
 
 
