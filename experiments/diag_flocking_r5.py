@@ -14,8 +14,8 @@ Usage:
     python experiments/diag_flocking_r5.py --config B_base
     python experiments/diag_flocking_r5.py --list
 
-Reference protocol (examples/flocking.py full config = reference
-flockingGNN.py): N=50, commRadius 6, repelDist 1, nTrain 400, T=200
+Reference protocol (reference flockingGNN.py:119-137): N=50,
+commRadius 2 (flockingGNN.py:126), repelDist 1, nTrain 400, T=200
 (duration 2.0, dt 0.01), LocalGNN_DB, ADAM lr 5e-4, batch 20,
 validationInterval 20, DAGger randomEpoch probExpert .993.
 Round-2 best: 1.613 (replaceTimeBatch, 60 ep); expert ~1.489; r4
