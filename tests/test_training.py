@@ -585,3 +585,16 @@ def test_grid_device_store_trainer(tmp_path):
     assert np.isfinite(out["lossTrain"]).all()
     assert np.isfinite(out["costValid"]).all()
     assert float(jnp.abs(trainer.posAll - trainer.posOrig).max()) > 0
+
+
+def test_evaluate_cost_device_matches_evaluate():
+    """flocking.evaluate_cost_device (the single device-side cost
+    behind deviceStore validation and the largeswarm driver) equals
+    Flocking.evaluate on the same velocity trajectory."""
+    from graph_neural_networks_tpu.data.flocking import (
+        evaluate_cost_device)
+    data = _flock_data(seed=26)
+    vel = data.getData("vel", "test")
+    want = float(data.evaluate(vel=vel))
+    got = float(evaluate_cost_device(jnp.asarray(vel, jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
